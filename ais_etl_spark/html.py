@@ -1,0 +1,78 @@
+"""Deterministic synthetic HTML + the html→text extraction contract.
+
+This module holds the *pure-Python* reference implementations; the
+vectorized Spark UDFs in :mod:`ais_etl_spark.transforms.builtin` wrap
+these over Arrow batches. Keeping the scalar logic here (dependency-free,
+deterministic) is what makes the per-row invariant testable: the pandas
+UDF output must be byte-identical to these functions applied row-wise —
+the same oracle style the reference uses (local ``hashlib.md5``
+recomputation in /root/reference/transformers/tests/test_md5.py:72-83,
+gzip round-trips in tests/test_compress_unit.py:39-78).
+
+HTML payloads are gzip members (as WARC payloads are); magic-byte
+detection before decompression mirrors the compress transformer
+(/root/reference/transformers/compress/fastapi_server.py:129).
+"""
+
+from __future__ import annotations
+
+import gzip
+import html as _html
+import re
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+_P_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+_LANG_RE = re.compile(r'<html lang="([a-zA-Z-]+)"')
+
+
+def synth_html(url: str, text: str, lang: str) -> bytes:
+    """Deterministic gzip-compressed HTML page embedding ``text``.
+
+    The page is synthetic but structurally realistic (head/meta/title,
+    body paragraphs, a script block that extraction must drop). Each
+    newline-separated chunk of ``text`` becomes one ``<p>`` element,
+    html-escaped — so extraction is an exact inverse.
+    """
+    paras = "".join(f"<p>{_html.escape(chunk)}</p>" for chunk in text.split("\n"))
+    doc = (
+        f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8"/>'
+        f"<title>{_html.escape(url)}</title>"
+        f'<meta name="generator" content="ais-etl-spark-synth"/></head>'
+        f"<body><nav><a href=\"/\">home</a></nav>{paras}"
+        f"<script>var tracked=1;</script></body></html>"
+    )
+    # mtime=0 → byte-deterministic gzip output for identical input.
+    return gzip.compress(doc.encode("utf-8"), compresslevel=1, mtime=0)
+
+
+def maybe_gunzip(data: bytes) -> bytes:
+    """Decompress iff the payload carries the gzip magic (compress
+    transformer semantics: validate magic before decompress)."""
+    if data[:2] == GZIP_MAGIC:
+        return gzip.decompress(data)
+    return data
+
+
+def extract_text_bytes(data: bytes | None) -> str | None:
+    """html bytes → text. THE byte-identical per-url invariant.
+
+    Deterministic, dependency-free: gunzip if needed, decode utf-8,
+    take the contents of every ``<p>`` element in document order,
+    unescape entities, join with ``\\n``. Script/style/nav content is
+    excluded by construction (only ``<p>`` bodies are text).
+    """
+    if data is None:
+        return None
+    raw = maybe_gunzip(bytes(data)).decode("utf-8", errors="replace")
+    paras = _P_RE.findall(raw)
+    return "\n".join(_html.unescape(p) for p in paras)
+
+
+def extract_lang_bytes(data: bytes | None) -> str | None:
+    """html bytes → declared language tag (``<html lang="..">``)."""
+    if data is None:
+        return None
+    raw = maybe_gunzip(bytes(data)).decode("utf-8", errors="replace")
+    m = _LANG_RE.search(raw)
+    return m.group(1) if m else None

@@ -1,0 +1,495 @@
+"""LakeTable — snapshot-committed, bucketed copy-on-write Parquet table.
+
+Iceberg semantics, from scratch, sized for the 10^10-event design point:
+
+- **Snapshots are manifests, not data copies.** A commit is one small
+  JSON file listing (data_dir, bucket, schema_version) entries. MERGE
+  rewrites ONLY the buckets containing changed keys; every other
+  bucket's files are carried into the new snapshot by reference —
+  the same copy-on-write file-granularity story as Iceberg MERGE.
+  At 100 TB with 1024 buckets, a batch touching 1% of keys rewrites
+  ~1% of the table, not the table.
+- **Atomic commit = POSIX rename** of the manifest JSON into
+  ``_commits/`` (write-tmp-then-rename; rename is atomic on one
+  filesystem). The reference's analog is the versioned result cache
+  with atomic refresh (/root/reference/transformers/tar2tf/src/
+  cached.go:122-195); Iceberg's is the catalog snapshot swap.
+- **Exactly-once** = the commit carries ``batch_id``; a merge whose
+  batch_id is already committed is a no-op replay (idempotent MERGE,
+  SURVEY §4 item 2). Structured Streaming's ``foreachBatch`` epoch id
+  is the batch_id, so checkpoint-resume never double-applies.
+- **LWW upsert with tombstones.** The winner per url is
+  ``max(warc_ts, _seq)`` across {current row, incoming events}; a
+  losing (late/stale) event is a no-op. Deletes persist as tombstone
+  rows (``_deleted``) so an *older* insert arriving after a newer
+  delete stays dead — incremental state matches full replay exactly
+  (the replay-equality bar in BASELINE.json). Tombstone GC would be a
+  snapshot-expiry maintenance job (not needed for correctness).
+- **Metadata-only schema evolution.** Columns have stable ids;
+  add/rename appends a schema version WITHOUT rewriting data files.
+  Files remember the schema version they were written under; reads
+  map physical names → current names by column id and null-backfill
+  added columns (Iceberg's name-mapping rules).
+- **Lineage/metrics**: every merge commit records per-source-partition
+  offset ranges and insert/update/delete/stale counts, and appends the
+  same rows to a ``_lineage`` parquet table (the Spark analog of
+  audio_manager's processed/error counters,
+  /root/reference/NeMo/.../audio_manager/fastapi_server.py:197-206).
+
+Concurrency model: single writer (one streaming query / one driver),
+many readers — Iceberg's default practical deployment. Readers always
+see a complete snapshot because the manifest is the commit point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ais_etl_spark.operators.lww import lww_latest
+
+_COMMITS = "_commits"
+_DATA = "data"
+_LINEAGE = "_lineage"
+
+# internal physical columns present in every data file
+_SEQ = "_seq"        # event_id of the writing event (LWW tiebreak vs future events)
+_DELETED = "_deleted"  # tombstone flag
+
+
+@dataclass
+class Column:
+    id: int
+    name: str
+    type: str  # Spark DDL type string
+
+
+class LakeTable:
+    """One table rooted at ``path`` (local fs or any Hadoop-compatible FS
+    via plain path strings — Spark handles the IO)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._commit_cache: dict[int, dict] = {}
+
+    # ------------------------------------------------------------------
+    # creation / loading
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: list[tuple[str, str]],
+        key: str = "url",
+        order_col: str = "warc_ts",
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` = [(name, spark_ddl_type)].
+        ``n_buckets`` fixes the hash-bucket layout (choose ~table_size /
+        target_file_size at real scale; 16 is the local-test default)."""
+        os.makedirs(os.path.join(path, _COMMITS), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+        cols = [Column(i, n, t).__dict__ for i, (n, t) in enumerate(schema)]
+        commit = {
+            "snapshot_id": 0,
+            "parent": None,
+            "batch_id": None,
+            "operation": "create",
+            "schema_version": 0,
+            "schemas": [cols],
+            "key": key,
+            "order_col": order_col,
+            "n_buckets": n_buckets,
+            "files": [],
+            "batches": [],
+            "lineage": {},
+        }
+        t = cls(spark, path)
+        t._write_commit(commit)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if t.current_snapshot_id() is None:
+            raise FileNotFoundError(f"no commits under {path}")
+        return t
+
+    # ------------------------------------------------------------------
+    # commit log
+    # ------------------------------------------------------------------
+
+    def _commit_path(self, snap: int) -> str:
+        return os.path.join(self.path, _COMMITS, f"v{snap:012d}.json")
+
+    def current_snapshot_id(self) -> int | None:
+        d = os.path.join(self.path, _COMMITS)
+        if not os.path.isdir(d):
+            return None
+        snaps = [
+            int(f[1:-5]) for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(snaps) if snaps else None
+
+    def commit(self, snapshot_id: int | None = None) -> dict:
+        snap = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if snap is None:
+            raise FileNotFoundError(f"no commits under {self.path}")
+        if snap not in self._commit_cache:
+            with open(self._commit_path(snap)) as f:
+                self._commit_cache[snap] = json.load(f)
+        return self._commit_cache[snap]
+
+    def _write_commit(self, commit: dict) -> None:
+        """Atomic publish: tmp file + rename. os.rename fails if we ever
+        raced another writer to the same snapshot id only on systems
+        where the target exists check matters; single-writer is the
+        documented contract (see module docstring)."""
+        final = self._commit_path(commit["snapshot_id"])
+        if os.path.exists(final):
+            raise RuntimeError(
+                f"snapshot {commit['snapshot_id']} already committed "
+                f"(concurrent writer?)"
+            )
+        tmp = os.path.join(self.path, _COMMITS, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(commit, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
+        self._commit_cache[commit["snapshot_id"]] = commit
+
+    def committed_batch_ids(self) -> set[str]:
+        c = self.commit()
+        return set(c.get("batches", []))
+
+    # ------------------------------------------------------------------
+    # schema
+    # ------------------------------------------------------------------
+
+    def schema_cols(self, commit: dict | None = None, version: int | None = None) -> list[dict]:
+        c = commit or self.commit()
+        v = c["schema_version"] if version is None else version
+        return c["schemas"][v]
+
+    def spark_schema_ddl(self) -> str:
+        return ", ".join(f"{c['name']} {c['type']}" for c in self.schema_cols())
+
+    def alter_add_column(self, name: str, col_type: str) -> int:
+        """Metadata-only ADD COLUMN: new schema version, zero data IO."""
+        c = dict(self.commit())
+        cols = [dict(x) for x in self.schema_cols(c)]
+        if any(x["name"] == name for x in cols):
+            raise ValueError(f"column {name!r} exists")
+        next_id = max((x["id"] for x in cols), default=-1) + 1
+        cols.append({"id": next_id, "name": name, "type": col_type})
+        return self._commit_schema_change(c, cols, f"add_column:{name}")
+
+    def alter_rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME COLUMN (same column id, new name)."""
+        c = dict(self.commit())
+        cols = [dict(x) for x in self.schema_cols(c)]
+        if any(x["name"] == new for x in cols):
+            raise ValueError(f"column {new!r} exists")
+        hit = [x for x in cols if x["name"] == old]
+        if not hit:
+            raise ValueError(f"no column {old!r}")
+        hit[0]["name"] = new
+        return self._commit_schema_change(c, cols, f"rename_column:{old}->{new}")
+
+    def _commit_schema_change(self, parent: dict, cols: list[dict], op: str) -> int:
+        commit = dict(parent)
+        commit["parent"] = parent["snapshot_id"]
+        commit["snapshot_id"] = parent["snapshot_id"] + 1
+        commit["operation"] = op
+        commit["schemas"] = list(parent["schemas"]) + [cols]
+        commit["schema_version"] = len(commit["schemas"]) - 1
+        commit["batch_id"] = None
+        commit["lineage"] = {}
+        self._write_commit(commit)
+        return commit["snapshot_id"]
+
+    # ------------------------------------------------------------------
+    # read (snapshot / time travel)
+    # ------------------------------------------------------------------
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        include_internal: bool = False,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Current-snapshot scan. Groups files by the schema version
+        they were written under, maps physical → current names by
+        column id, null-backfills added columns, unions, and filters
+        tombstones (unless ``include_internal``). ``buckets`` prunes at
+        the manifest level — the merge fast path reads only affected
+        buckets' files."""
+        c = self.commit(snapshot_id)
+        cur_cols = self.schema_cols(c)
+        files = c["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+
+        internal = [(_SEQ, "bigint"), (_DELETED, "boolean")]
+        parts: list[DataFrame] = []
+        by_ver: dict[int, list[str]] = {}
+        for f in files:
+            by_ver.setdefault(f["schema_version"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        for ver, paths in by_ver.items():
+            old_cols = {col["id"]: col for col in c["schemas"][ver]}
+            df = self.spark.read.parquet(*paths)
+            sel = []
+            for col in cur_cols:
+                if col["id"] in old_cols:
+                    sel.append(F.col(old_cols[col["id"]]["name"]).alias(col["name"]))
+                else:
+                    sel.append(F.lit(None).cast(col["type"]).alias(col["name"]))
+            sel += [F.col(n).cast(t).alias(n) for n, t in internal]
+            parts.append(df.select(*sel))
+
+        if not parts:
+            ddl = self.spark_schema_ddl() + ", " + ", ".join(
+                f"{n} {t}" for n, t in internal
+            )
+            out = self.spark.createDataFrame([], ddl)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if not include_internal:
+            out = out.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
+        return out
+
+    # ------------------------------------------------------------------
+    # MERGE (the CDC apply)
+    # ------------------------------------------------------------------
+
+    def _bucket_expr(self, key_col):
+        return F.pmod(F.xxhash64(key_col), F.lit(self.commit()["n_buckets"])).cast("int")
+
+    def merge(self, events: DataFrame, batch_id: str) -> dict:
+        """Apply a batch of CDC events (op/url/warc_ts/event_id +
+        payload columns ⊆ schema) with LWW + tombstones. Idempotent on
+        ``batch_id``. Returns the lineage dict of the commit (empty
+        dict if the batch was already applied).
+
+        Physical plan: dedup batch (map-side combine) → bucket →
+        manifest-prune current snapshot to affected buckets → per-key
+        struct-max against current rows → rewrite only those buckets.
+        """
+        c = self.commit()
+        if batch_id in c.get("batches", []):
+            return {}  # exactly-once replay: already applied
+        key = c["key"]
+        order_col = c["order_col"]
+        cur_cols = self.schema_cols(c)
+        payload_names = [
+            col["name"] for col in cur_cols if col["name"] not in (key, order_col)
+        ]
+        for col in (key, order_col, "op", "event_id"):
+            if col not in events.columns:
+                raise ValueError(f"events missing required column {col!r}")
+
+        # lineage: per-source-partition offset ranges (before dedup)
+        has_offsets = {"source_part", "offset"} <= set(events.columns)
+        offsets = (
+            [
+                r.asDict()
+                for r in events.groupBy("source_part")
+                .agg(
+                    F.min("offset").alias("min_offset"),
+                    F.max("offset").alias("max_offset"),
+                    F.count("*").alias("events"),
+                )
+                .collect()
+            ]
+            if has_offsets
+            else []
+        )
+
+        # 1. batch-local LWW (one row per key; combiner absorbs skew)
+        payload_in = [p for p in payload_names if p in events.columns]
+        missing = [p for p in payload_names if p not in events.columns]
+        ev = events.select(
+            key, order_col, F.col("event_id").alias(_SEQ), "op", *payload_in
+        )
+        for p in missing:
+            typ = next(x["type"] for x in cur_cols if x["name"] == p)
+            ev = ev.withColumn(p, F.lit(None).cast(typ))
+        ev = lww_latest(
+            ev, key=key, order_cols=(order_col, _SEQ),
+            payload_cols=["op", *payload_names],
+        )
+        incoming = ev.select(
+            key,
+            order_col,
+            F.col(_SEQ),
+            (F.col("op") == "D").alias(_DELETED),
+            *payload_names,
+            F.lit(True).alias("_new"),
+        ).withColumn("_bucket", self._bucket_expr(F.col(key)))
+
+        # 2. affected buckets (tiny collect: ≤ n_buckets ints)
+        touched = sorted(
+            r[0] for r in incoming.select("_bucket").distinct().collect()
+        )
+
+        # 3. current rows in touched buckets only (manifest pruning)
+        current = (
+            self.read(include_internal=True, buckets=touched)
+            .select(
+                key, order_col, _SEQ, _DELETED, *payload_names,
+                F.lit(False).alias("_new"),
+            )
+            .withColumn("_bucket", self._bucket_expr(F.col(key)))
+        )
+
+        # 4. per-key LWW across {current, incoming}; _new breaks exact
+        #    (ts, seq) ties toward the incoming copy (same content).
+        combined = current.unionByName(incoming)
+        winner = F.max(
+            F.struct(
+                F.col(order_col), F.col(_SEQ), F.col("_new"),
+                F.col(_DELETED), *[F.col(p) for p in payload_names],
+            )
+        ).alias("w")
+        merged = combined.groupBy(key, "_bucket").agg(
+            winner,
+            F.max(F.col("_new").cast("int")).alias("_has_new"),
+            F.max((~F.col("_new")).cast("int")).alias("_has_cur"),
+        )
+        result = merged.select(
+            F.col(key),
+            F.col("_bucket"),
+            F.col(f"w.{order_col}").alias(order_col),
+            F.col(f"w.{_SEQ}").alias(_SEQ),
+            F.col(f"w.{_DELETED}").alias(_DELETED),
+            *[F.col(f"w.{p}").alias(p) for p in payload_names],
+            F.col(f"w._new").alias("_won_new"),
+            F.col("_has_new"),
+            F.col("_has_cur"),
+        )
+        result = result.persist()
+        try:
+            counts = result.agg(
+                F.sum(
+                    (F.col("_won_new") & ~F.col(_DELETED) & (F.col("_has_cur") == 0)).cast("long")
+                ).alias("inserts"),
+                F.sum(
+                    (F.col("_won_new") & ~F.col(_DELETED) & (F.col("_has_cur") == 1)).cast("long")
+                ).alias("updates"),
+                F.sum(
+                    (F.col("_won_new") & F.col(_DELETED)).cast("long")
+                ).alias("deletes"),
+                F.sum(
+                    ((~F.col("_won_new")) & (F.col("_has_new") == 1)).cast("long")
+                ).alias("stale_noops"),
+                F.count("*").alias("rows_after"),
+            ).collect()[0].asDict()
+
+            # 5. rewrite touched buckets (CoW) — one dir per snapshot,
+            #    hive-partitioned by bucket for manifest entries
+            snap_id = c["snapshot_id"] + 1
+            rel_dir = f"{_DATA}/snap{snap_id:012d}"
+            out_dir = os.path.join(self.path, rel_dir)
+            ordered = [col["name"] for col in cur_cols]
+            (
+                result.select(*ordered, _SEQ, _DELETED, "_bucket")
+                .repartition(max(len(touched), 1), "_bucket")
+                .write.partitionBy("_bucket")
+                .parquet(out_dir)
+            )
+            written = {
+                int(d.split("=")[1])
+                for d in os.listdir(out_dir)
+                if d.startswith("_bucket=")
+            }
+        finally:
+            result.unpersist()
+
+        carry = [f for f in c["files"] if f["bucket"] not in set(touched)]
+        new_files = [
+            {
+                "path": f"{rel_dir}/_bucket={b}",
+                "bucket": b,
+                "schema_version": c["schema_version"],
+            }
+            for b in sorted(written)
+        ]
+        lineage = {
+            "batch_id": batch_id,
+            "snapshot_id": snap_id,
+            "buckets_rewritten": len(written),
+            "buckets_total": c["n_buckets"],
+            "source_offsets": offsets,
+            **{k: int(v or 0) for k, v in counts.items()},
+        }
+        commit = {
+            "snapshot_id": snap_id,
+            "parent": c["snapshot_id"],
+            "batch_id": batch_id,
+            "operation": "merge",
+            "schema_version": c["schema_version"],
+            "schemas": c["schemas"],
+            "key": key,
+            "order_col": order_col,
+            "n_buckets": c["n_buckets"],
+            "files": carry + new_files,
+            "batches": list(c.get("batches", [])) + [batch_id],
+            "lineage": lineage,
+        }
+        self._write_commit(commit)
+        self._append_lineage(lineage, offsets)
+        return lineage
+
+    # ------------------------------------------------------------------
+    # lineage table
+    # ------------------------------------------------------------------
+
+    def _append_lineage(self, lineage: dict, offsets: list[dict]) -> None:
+        rows = [
+            {
+                "batch_id": lineage["batch_id"],
+                "snapshot_id": lineage["snapshot_id"],
+                "source_part": int(o["source_part"]),
+                "min_offset": int(o["min_offset"]),
+                "max_offset": int(o["max_offset"]),
+                "events": int(o["events"]),
+                "inserts": lineage["inserts"],
+                "updates": lineage["updates"],
+                "deletes": lineage["deletes"],
+                "stale_noops": lineage["stale_noops"],
+            }
+            for o in (offsets or [{"source_part": -1, "min_offset": -1,
+                                   "max_offset": -1, "events": 0}])
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "batch_id string, snapshot_id bigint, source_part int, "
+            "min_offset bigint, max_offset bigint, events bigint, "
+            "inserts bigint, updates bigint, deletes bigint, stale_noops bigint",
+        )
+        df.coalesce(1).write.mode("append").parquet(os.path.join(self.path, _LINEAGE))
+
+    def lineage(self) -> DataFrame:
+        p = os.path.join(self.path, _LINEAGE)
+        if not os.path.isdir(p):
+            return self.spark.createDataFrame(
+                [],
+                "batch_id string, snapshot_id bigint, source_part int, "
+                "min_offset bigint, max_offset bigint, events bigint, "
+                "inserts bigint, updates bigint, deletes bigint, stale_noops bigint",
+            )
+        return self.spark.read.parquet(p)
