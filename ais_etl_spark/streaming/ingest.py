@@ -1,0 +1,178 @@
+"""The engine's main loop — the Spark analog of ais-etl's offline
+bucket-to-bucket transform job (/root/reference/transformers/tests/
+test_ffmpeg.py:243-256: ``bucket.transform(etl_name, to_bck,
+num_workers=24)`` + ``job.wait()``):
+
+    readStream(change feed) → watermark dedup → vectorized transforms
+    → foreachBatch(MERGE INTO lake table) under a checkpoint
+
+Delivery guarantees (SURVEY §2.3 exactly-once row): Structured
+Streaming's checkpoint makes each epoch replayable with identical
+content; ``LakeTable.merge`` is idempotent on batch_id; the lake commit
+is atomic. Together: exactly-once from feed offset to committed
+snapshot, resumable after kill at any point. The reference is only
+at-least-once with idempotent overwrite (SURVEY §2.3) — we strengthen
+it because the target is a mutable table, not a keyed object store.
+
+Scale notes:
+- the in-flight dedup (``dropDuplicatesWithinWatermark`` on
+  (url, warc_ts)) bounds streaming state to the watermark horizon; the
+  *long-term* LWW state is the target table itself (merge compares
+  against current rows), so state never grows with key cardinality
+  (10^10-key safe — SURVEY §7 risk item 2).
+- per-batch work is the bucketed CoW merge: shuffle sized by the batch,
+  not the table; table IO sized by touched buckets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ais_etl_spark.lake import LakeTable
+from ais_etl_spark.transforms.builtin import extract_lang_udf, extract_text_udf
+
+FEED_SCHEMA = (
+    "event_id bigint, op string, url string, warc_ts timestamp, "
+    "source_part int, offset bigint, html binary"
+)
+
+PAGES_SCHEMA: list[tuple[str, str]] = [
+    ("url", "string"),
+    ("warc_ts", "timestamp"),
+    ("html", "binary"),
+    ("text", "string"),
+    ("lang", "string"),
+]
+
+
+def write_feed_chunks(feed: DataFrame, feed_dir: str, n_chunks: int) -> None:
+    """Materialize a feed as ``n_chunks`` parquet files in arrival order
+    (event_id ranges) — a file-based stand-in for binlog segments; the
+    file streaming source tails them like a WAL."""
+    bounds = feed.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = bounds[0], bounds[1]
+    span = (hi - lo + 1) if hi is not None else 0
+    step = max(1, span // n_chunks + (1 if span % n_chunks else 0))
+    os.makedirs(feed_dir, exist_ok=True)
+    for i in range(n_chunks):
+        chunk = feed.filter(
+            (F.col("event_id") >= lo + i * step) & (F.col("event_id") < lo + (i + 1) * step)
+        )
+        chunk.write.parquet(os.path.join(feed_dir, f"chunk-{i:05d}.parquet"))
+
+
+def enrich_events(events: DataFrame) -> DataFrame:
+    """The transform stage: html → (text, lang) via Arrow-vectorized
+    UDFs (the ais-etl transformer contract leg of the pipeline)."""
+    return events.withColumn("text", extract_text_udf("html")).withColumn(
+        "lang", extract_lang_udf("html")
+    )
+
+
+def apply_cdc_batch(
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: str,
+    schema_events: list[dict] | None = None,
+) -> dict:
+    """Shared batch-apply: fence schema evolution, enrich, merge.
+
+    ``schema_events`` (kind/col_name/new_name/col_type/fence_event_id)
+    fence the batch exactly like DDL statements ordered within a binlog:
+    data events with event_id < fence merge under the pre-DDL schema,
+    the ALTER applies, then events ≥ fence merge under the new schema.
+    Already-applied DDL is skipped by inspecting the current schema, and
+    sub-batch ids are deterministic — idempotent across epoch replays.
+    """
+    from ais_etl_spark.schema_evolution import apply_schema_event
+
+    lo_hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = lo_hi[0], lo_hi[1]
+    fences = sorted(
+        (ev for ev in (schema_events or []) if lo is not None and lo < ev["fence_event_id"] <= hi),
+        key=lambda e: e["fence_event_id"],
+    )
+    if not fences:
+        for ev in sorted(schema_events or [], key=lambda e: e["fence_event_id"]):
+            if hi is not None and ev["fence_event_id"] <= hi:
+                apply_schema_event(table, ev)
+        return table.merge(enrich_events(events), batch_id=batch_id)
+
+    lineage: dict = {}
+    start = lo
+    for i, ev in enumerate(fences):
+        sub = events.filter(
+            (F.col("event_id") >= start) & (F.col("event_id") < ev["fence_event_id"])
+        )
+        lineage = table.merge(enrich_events(sub), batch_id=f"{batch_id}.{i}")
+        apply_schema_event(table, ev)
+        start = ev["fence_event_id"]
+    tail = events.filter(F.col("event_id") >= start)
+    lineage = table.merge(enrich_events(tail), batch_id=f"{batch_id}.tail")
+    return lineage
+
+
+def run_ingest(
+    spark: SparkSession,
+    feed_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema_events: list[dict] | None = None,
+    watermark_delay: str = "2 hours",
+    dedup_within_watermark: bool = False,
+    max_files_per_trigger: int | None = None,
+    create_if_missing: bool = True,
+    n_buckets: int = 16,
+) -> LakeTable:
+    """Run the streaming ingest to completion of currently-available
+    data (availableNow trigger) and return the table. Call again with
+    the same checkpoint_dir to resume exactly-once after new feed files
+    land — or after a kill.
+
+    Late-data policy: with ``dedup_within_watermark=True`` the stream
+    pre-collapses duplicate (url, warc_ts, op) events within the
+    watermark horizon — a shuffle-volume optimization for noisy
+    at-least-once sources — but by Spark's bounded-lateness contract
+    events arriving *later than the watermark* are then dropped before
+    the sink. Default is OFF: the LWW+idempotent MERGE already absorbs
+    duplicates and stale events exactly (they surface as
+    ``stale_noops`` in lineage), so exact replay equality holds with
+    unbounded lateness. Turn it on only when the source's dup rate
+    justifies trading bounded lateness for shuffle volume."""
+    try:
+        table = LakeTable.load(spark, table_path)
+    except FileNotFoundError:
+        if not create_if_missing:
+            raise
+        table = LakeTable.create(
+            spark, table_path, PAGES_SCHEMA, key="url", order_col="warc_ts",
+            n_buckets=n_buckets,
+        )
+
+    reader = spark.readStream.schema(FEED_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # chunks are parquet *directories* (binlog segments); the file
+    # source needs the glob to descend into them
+    stream = reader.parquet(os.path.join(feed_dir, "*"))
+
+    if dedup_within_watermark:
+        stream = stream.withWatermark(
+            "warc_ts", watermark_delay
+        ).dropDuplicatesWithinWatermark(["url", "warc_ts", "op"])
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_cdc_batch(
+            table, batch_df, batch_id=f"epoch-{epoch_id}", schema_events=schema_events
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table

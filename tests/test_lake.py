@@ -1,0 +1,123 @@
+"""LakeTable: MERGE semantics matrix, idempotence, CoW, schema
+evolution, time travel, lineage.
+
+The delete/late matrix is the semantics decision flagged in SURVEY §7
+(I<U<D orderings × duplicates × late); the replay-equality oracle style
+follows the reference's pipeline-replay compare
+(/root/reference/transformers/tests/test_audio_split_consolidate.py:67-113)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ais_etl_spark.lake import LakeTable
+
+SCHEMA = [("url", "string"), ("warc_ts", "timestamp"), ("text", "string")]
+EV_DDL = "event_id bigint, op string, url string, warc_ts timestamp, text string"
+
+
+def T(s):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture()
+def tbl(spark, tmpdir_path):
+    return LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=4)
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(rows, EV_DDL)
+
+
+def test_insert_update_delete(spark, tbl):
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a"), (2, "I", "u2", T(1), "b")]), "b1")
+    tbl.merge(ev(spark, [(3, "U", "u1", T(2), "a2"), (4, "D", "u2", T(2), None)]), "b2")
+    rows = {r.url: r.text for r in tbl.read().collect()}
+    assert rows == {"u1": "a2"}
+
+
+def test_stale_events_are_noops(spark, tbl):
+    tbl.merge(ev(spark, [(5, "I", "u1", T(10), "new")]), "b1")
+    lin = tbl.merge(ev(spark, [(1, "U", "u1", T(5), "old"), (2, "D", "u1", T(7), None)]), "b2")
+    assert lin["stale_noops"] == 1  # one key, both losers collapse to one
+    assert [r.text for r in tbl.read().collect()] == ["new"]
+
+
+def test_delete_tombstone_beats_older_insert_across_batches(spark, tbl):
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a")]), "b1")
+    tbl.merge(ev(spark, [(2, "D", "u1", T(9), None)]), "b2")
+    tbl.merge(ev(spark, [(3, "I", "u1", T(5), "zombie")]), "b3")
+    assert tbl.read().count() == 0
+    # but a genuinely newer insert resurrects
+    tbl.merge(ev(spark, [(4, "I", "u1", T(12), "alive")]), "b4")
+    assert [r.text for r in tbl.read().collect()] == ["alive"]
+
+
+def test_same_timestamp_tiebreak_on_event_id(spark, tbl):
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "first"), (2, "U", "u1", T(1), "second")]), "b1")
+    assert [r.text for r in tbl.read().collect()] == ["second"]
+
+
+def test_batch_replay_is_idempotent(spark, tbl):
+    batch = ev(spark, [(1, "I", "u1", T(1), "a"), (2, "I", "u2", T(2), "b")])
+    lin1 = tbl.merge(batch, "b1")
+    snap = tbl.current_snapshot_id()
+    lin2 = tbl.merge(batch, "b1")
+    assert lin1["inserts"] == 2 and lin2 == {}
+    assert tbl.current_snapshot_id() == snap
+
+
+def test_copy_on_write_only_touched_buckets(spark, tmpdir_path):
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=16)
+    big = ev(spark, [(i, "I", f"u{i}", T(i), f"t{i}") for i in range(200)])
+    tbl.merge(big, "b1")
+    files_before = {f["path"]: f for f in tbl.commit()["files"]}
+    lin = tbl.merge(ev(spark, [(999, "U", "u7", T(999), "u7new")]), "b2")
+    assert lin["buckets_rewritten"] == 1
+    carried = [f for f in tbl.commit()["files"] if f["path"] in files_before]
+    assert len(carried) == len(files_before) - 1  # all but the hit bucket reused
+
+
+def test_schema_add_and_rename_without_rewrite(spark, tbl):
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a")]), "b1")
+    files_before = [f["path"] for f in tbl.commit()["files"]]
+    tbl.alter_add_column("score", "double")
+    tbl.alter_rename_column("text", "body")
+    assert [f["path"] for f in tbl.commit()["files"]] == files_before  # no rewrite
+    row = tbl.read().collect()[0]
+    assert row.body == "a" and row.score is None
+    # new-schema write + old files union
+    df = spark.createDataFrame(
+        [(2, "I", "u2", T(2), "b", 0.9)],
+        "event_id bigint, op string, url string, warc_ts timestamp, body string, score double",
+    )
+    tbl.merge(df, "b2")
+    got = {r.url: (r.body, r.score) for r in tbl.read().collect()}
+    assert got == {"u1": ("a", None), "u2": ("b", 0.9)}
+
+
+def test_time_travel(spark, tbl):
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "v1")]), "b1")
+    tbl.merge(ev(spark, [(2, "U", "u1", T(2), "v2")]), "b2")
+    assert [r.text for r in tbl.read(snapshot_id=1).collect()] == ["v1"]
+    assert [r.text for r in tbl.read(snapshot_id=2).collect()] == ["v2"]
+
+
+def test_lineage_offsets(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "I", "u1", T(1), "a", 0, 100), (2, "I", "u2", T(2), "b", 0, 101),
+         (3, "I", "u3", T(3), "c", 1, 7)],
+        EV_DDL + ", source_part int, offset bigint",
+    )
+    tbl.merge(df, "b1")
+    lin = {r.source_part: r for r in tbl.lineage().collect()}
+    assert lin[0].min_offset == 100 and lin[0].max_offset == 101 and lin[0].events == 2
+    assert lin[1].min_offset == 7 and lin[1].events == 1
+    assert lin[0].inserts == 3
+
+
+def test_merge_rejects_missing_columns(spark, tbl):
+    bad = spark.createDataFrame([(1, "I", "u1")], "event_id bigint, op string, url string")
+    with pytest.raises(ValueError, match="warc_ts"):
+        tbl.merge(bad, "b1")

@@ -1,0 +1,84 @@
+"""Streaming ingest: checkpoint resume, exactly-once, schema fences,
+and the replay-equality oracle (incremental result == full-batch LWW
+replay — BASELINE.json's correctness bar)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ais_etl_spark.feed import synth_cdc_feed
+from ais_etl_spark.operators.lww import lww_latest
+from ais_etl_spark.streaming import run_ingest, write_feed_chunks
+from ais_etl_spark.streaming.ingest import enrich_events
+
+
+def _expected_final(feed):
+    return (
+        lww_latest(enrich_events(feed))
+        .filter("op <> 'D'")
+        .select("url", "warc_ts", "text", "lang")
+    )
+
+
+def test_ingest_resume_fences_replay_equality(spark, tmpdir_path):
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    tbl_dir = os.path.join(tmpdir_path, "tbl")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    feed = synth_cdc_feed(spark, n_events=2000, n_urls=300, seed=7).cache()
+
+    sev = [
+        {"fence_event_id": 1600, "kind": "add_column",
+         "col_name": "quality", "col_type": "double"},
+        {"fence_event_id": 1900, "kind": "rename_column",
+         "col_name": "quality", "new_name": "qscore"},
+    ]
+
+    # phase 1: first 2 binlog segments
+    write_feed_chunks(feed.filter("event_id < 1200"), feed_dir, 2)
+    tbl = run_ingest(spark, feed_dir, tbl_dir, ckpt, schema_events=sev)
+    assert tbl.read().count() > 0
+    assert [c["name"] for c in tbl.schema_cols()] == [
+        "url", "warc_ts", "html", "text", "lang"]  # fences not reached yet
+
+    # phase 2: kill/resume — same checkpoint, new segment lands
+    feed.filter("event_id >= 1200").write.parquet(
+        os.path.join(feed_dir, "chunk-late.parquet"))
+    tbl = run_ingest(spark, feed_dir, tbl_dir, ckpt, schema_events=sev)
+    assert [c["name"] for c in tbl.schema_cols()] == [
+        "url", "warc_ts", "html", "text", "lang", "qscore"]
+
+    # phase 3: resume with nothing new — must be a pure no-op
+    snap = tbl.current_snapshot_id()
+    n = tbl.read().count()
+    tbl = run_ingest(spark, feed_dir, tbl_dir, ckpt, schema_events=sev)
+    assert tbl.current_snapshot_id() == snap and tbl.read().count() == n
+
+    # replay equality: incremental == full-batch replay
+    expected = _expected_final(feed)
+    actual = tbl.read().select("url", "warc_ts", "text", "lang")
+    assert expected.exceptAll(actual).count() == 0
+    assert actual.exceptAll(expected).count() == 0
+
+    # exactly-once evidence: lineage is one row per (batch, source
+    # partition), each batch applied once
+    pairs = [(r.batch_id, r.source_part) for r in tbl.lineage().collect()]
+    assert len(pairs) == len(set(pairs))
+    assert set(tbl.commit()["batches"]) == {b for b, _ in pairs}
+    feed.unpersist()
+
+
+def test_text_byte_identical_through_pipeline(spark, tmpdir_path):
+    """Per-row invariant: text in the final table == pure-Python
+    extraction of the winning event's html."""
+    from ais_etl_spark.html import extract_text_bytes
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    feed = synth_cdc_feed(spark, n_events=400, n_urls=80, seed=23)
+    write_feed_chunks(feed, feed_dir, 1)
+    tbl = run_ingest(
+        spark, feed_dir, os.path.join(tmpdir_path, "t"), os.path.join(tmpdir_path, "c")
+    )
+    rows = tbl.read().select("url", "html", "text").collect()
+    assert rows
+    for r in rows:
+        assert r.text == extract_text_bytes(bytes(r.html))

@@ -1,0 +1,99 @@
+"""Vectorized transformer registry — oracle = local stdlib recompute,
+the reference's own test strategy (test_md5.py:72-83, test_compress_unit.py)."""
+
+import bz2
+import gzip
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ais_etl_spark import html as htmlmod
+from ais_etl_spark.transforms import compile_pipeline
+from ais_etl_spark.transforms.registry import TRANSFORMS, apply_transform
+
+
+@pytest.fixture()
+def pages(spark):
+    rows = [
+        ("https://a/x", "alpha text\nbeta", "en"),
+        ("https://b/y", "gamma & <delta>", "fr"),
+        ("https://c/z", "zeta", "zh"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text0 string, lang0 string")
+    from ais_etl_spark.transforms.builtin import synth_html_udf
+
+    return df.withColumn("html", synth_html_udf("url", "text0", "lang0"))
+
+
+def test_registry_has_reference_parity_set():
+    for name in ("echo", "hello_world", "md5", "xxhash", "compress",
+                 "extract_text", "extract_lang", "regex_route"):
+        assert name in TRANSFORMS
+
+
+def test_extract_text_matches_pure_python_oracle(pages):
+    out = apply_transform(pages, "extract_text", src="html", dst="text").collect()
+    for r in out:
+        assert r.text == htmlmod.extract_text_bytes(bytes(r.html))
+        assert r.text == r.text0  # byte-identical round trip
+
+
+def test_extract_lang(pages):
+    out = apply_transform(pages, "extract_lang", src="html", dst="lang").collect()
+    assert all(r.lang == r.lang0 for r in out)
+
+
+def test_md5_matches_hashlib(pages):
+    out = apply_transform(pages, "md5", src="html", dst="digest").collect()
+    for r in out:
+        assert r.digest == hashlib.md5(bytes(r.html)).hexdigest()
+
+
+def test_codec_round_trip(pages, spark):
+    for algo, mod in (("gzip", gzip), ("bz2", bz2)):
+        comp = apply_transform(pages.select("url", F.col("html").alias("payload")),
+                               "compress", src="payload", dst="c", mode="compress",
+                               algorithm=algo)
+        rt = apply_transform(comp, "compress", src="c", dst="rt", mode="decompress",
+                             algorithm=algo).collect()
+        for r in rt:
+            assert bytes(r.rt) == bytes(r.payload)
+            assert bytes(r.c) == (gzip.compress(bytes(r.payload), mtime=0) if algo == "gzip"
+                                  else bz2.compress(bytes(r.payload)))
+
+
+def test_decompress_rejects_bad_magic(pages):
+    bad = pages.select(F.lit(b"not-gzip").alias("payload"))
+    with pytest.raises(Exception, match="magic"):
+        apply_transform(bad, "compress", src="payload", mode="decompress",
+                        algorithm="gzip").collect()
+
+
+def test_regex_route(pages):
+    out = apply_transform(pages, "regex_route", src="url",
+                          pattern=r".*/x$", dst_prefix="dst/").collect()
+    byurl = {r.url: r for r in out}
+    assert byurl["https://a/x"].route_match and byurl["https://a/x"].route_dst == "dst/x"
+    assert not byurl["https://b/y"].route_match and byurl["https://b/y"].route_dst is None
+
+
+def test_spec_pipeline_compiles_in_order(pages):
+    spec = [
+        {"op": "extract_text", "src": "html", "dst": "text"},
+        {"op": "md5", "src": "text", "dst": "fp"},
+        {"op": "with_column", "name": "n_chars", "expr": "length(text)"},
+        {"op": "filter", "expr": "n_chars > 4"},
+        {"op": "rename", "from": "fp", "to": "fingerprint"},
+        {"op": "select", "cols": ["url", "text", "fingerprint", "n_chars"]},
+    ]
+    out = compile_pipeline(pages, spec)
+    assert out.columns == ["url", "text", "fingerprint", "n_chars"]
+    rows = out.collect()
+    assert {r.url for r in rows} == {"https://a/x", "https://b/y"}  # 'zeta' filtered
+
+
+def test_hello_world_and_echo(pages):
+    assert apply_transform(pages, "echo").columns == pages.columns
+    out = apply_transform(pages, "hello_world").select("greeting").distinct().collect()
+    assert out == [("Hello World!",)] or out[0].greeting == "Hello World!"
