@@ -1,0 +1,367 @@
+"""Deduplication operators for web-scale corpus curation.
+
+The reference dedups at object granularity only (version-keyed cache,
+/root/reference/transformers/tar2tf/src/cached.go:50-78) and content
+hashing is its `md5` transformer
+(/root/reference/transformers/md5/fastapi_server.py:22-26). A training
+-data pipeline over 100 TB of Common-Crawl text needs the full family:
+
+- :func:`dedup_exact`           — hash-groupBy on a content digest.
+- :func:`shingles`              — word n-gram shingling (shared prim).
+- :func:`minhash_lsh_pairs`     — MinHash signatures + banded LSH
+                                   candidate pairs.
+- :func:`ngram_jaccard_pairs`   — exact n-gram Jaccard via an inverted
+                                   -index join (verify step after LSH).
+- :func:`simhash_signatures`    — 32-bit SimHash per doc.
+- :func:`simhash_pairs`         — near-dup pairs by Hamming distance.
+- :func:`embedding_cosine_pairs`— semantic near-dups over an embedding
+                                   column.
+
+**Portability discipline:** every hash that feeds a DuckDB correctness
+oracle is derived from ``md5`` (bit-identical across engines); Spark's
+``xxhash64`` (seed pinned at 42) is kept for engine-internal
+partitioning/salting only.
+
+**Scale notes (100 TB):**
+
+- Exact dedup is one hash-aggregate: map-side partial agg collapses
+  per-partition duplicates before the shuffle; the shuffle carries one
+  row per distinct digest.
+- MinHash/LSH is linear: explode shingles → per-(doc, band) min-agg →
+  self-join on band signature. The band join is an equi-join on a
+  high-cardinality key — sort-merge with AQE skew split; a viral
+  boilerplate page that floods one bucket is exactly the skew AQE
+  splits. NEVER materialize the O(n²) similarity matrix; LSH candidates
+  + Jaccard verification touch only colliding pairs.
+- The explode formulation mirrors the SQL oracle 1:1; at real scale the
+  signature step collapses to one Arrow-batched pandas UDF per doc
+  (:func:`minhash_signature_udf`) so shuffle volume is n_docs × k ints
+  instead of n_docs × n_shingles rows. Both produce identical
+  signatures (tested).
+- Embedding near-dup at scale must LSH/IVF-bucket first (see
+  operators/similarity.py); the all-pairs form here is the verify step.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(col) -> "F.Column":
+    """Lowercased word tokens — the shared tokenizer (JVM regex)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def shingles(col, n: int = 3) -> "F.Column":
+    """Word ``n``-gram shingles as space-joined strings.
+
+    Pure built-ins (sequence + transform + element_at ⇒ whole-stage
+    codegen); 1-based indices match SQL list semantics so the DuckDB
+    oracle is a transliteration.
+    """
+    t = tokens(col)
+    # sequence(1, 0) DESCENDS in Spark — guard short docs to an empty list
+    # (DuckDB's generate_series(1, 0) is empty, matching the guarded form)
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    parts_of = lambda i: [F.element_at(t, i + j) for j in range(n)]  # noqa: E731
+    return F.transform(idx, lambda i: F.concat_ws(" ", *parts_of(i)))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5 content digest → one hash-aggregate.
+
+    Returns (content_md5, n_docs, keep_id) with keep = min id —
+    deterministic winner. Map-side combine collapses local dups, so
+    the shuffle is one row per (task, distinct digest).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def _mh(j, shingle_col):
+    """Hash-family member j: md5(j ':' shingle), compared as a string.
+    String-min over a uniform 128-bit hex hash is a valid min-hash and —
+    unlike xxhash64 seeds — bit-identical in DuckDB."""
+    return F.md5(F.concat(j.cast("string"), F.lit(":"), shingle_col))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, j, minhash_j) for j in 0..k-1 via the explode formulation
+    (oracle twin). Docs with < shingle_n tokens produce no signature."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    j = df.sparkSession.range(0, k).select(F.col("id").cast("int").alias("j"))
+    return (
+        sh.crossJoin(F.broadcast(j))
+        .groupBy(id_col, "j")
+        .agg(F.min(_mh(F.col("j"), F.col("s"))).alias("h"))
+    )
+
+
+def minhash_signature_udf(k: int = 16, shingle_n: int = 3):
+    """Scale path: one Arrow-batched pandas UDF computing the whole
+    k-signature per doc locally — no shingle explode, no k× row blowup;
+    the downstream shuffle carries n_docs × k tiny rows. Semantically
+    identical to :func:`minhash_signatures` (asserted in tests)."""
+    import re
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def sig_one(text: str | None) -> list[str] | None:
+        if text is None:
+            return None
+        t = tok_re.findall(text.lower())
+        shs = {" ".join(t[i : i + shingle_n]) for i in range(len(t) - shingle_n + 1)}
+        if not shs:
+            return None
+        return [
+            min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in shs)
+            for j in range(k)
+        ]
+
+    @pandas_udf(ArrayType(StringType()))
+    def sig(text: pd.Series) -> pd.Series:
+        return text.map(sig_one)
+
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: band the k-row signature into
+    ``bands`` groups, md5 the concatenated band slice, self-join on
+    (band, sig). Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    rows_per_band = k // bands
+    mh = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
+    band = (
+        mh.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        # array_agg ordered by j → deterministic band signature
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.struct("j", "h")))
+                               .getField("h"))).alias("sig"))
+    )
+    a = band.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = band.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (LSH verify step)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingles via inverted-index
+    join: |A∩B| from a shingle-equality self-join, |A∪B| = |A|+|B|−∩.
+
+    With ``candidates`` (e.g. LSH output) the intersection join is
+    restricted to candidate pairs — the 100 TB path. Without it this
+    is exact all-pairs-with-shared-shingle (test scale only).
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("s").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "s")
+    b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    if candidates is not None:
+        inter = inter.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+    inter = inter.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
+
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash32(text: str | None) -> int | None:
+    """Scalar reference: 32-bit SimHash over word tokens, md5-derived
+    per-token hash (first 8 hex chars). Deterministic, engine-portable."""
+    import re
+
+    if text is None:
+        return None
+    toks = re.findall(TOKEN_RE, text.lower())
+    if not toks:
+        return 0
+    acc = [0] * 32
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for b in range(32):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(32):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — built-in-only formulation: explode tokens ×
+    32 bit positions, sum ±1 votes, recompose bits. Matches
+    :func:`simhash32` bit-for-bit and transliterates to the SQL oracle.
+
+    Scale: per-doc token explode then ONE hash-agg keyed (id, bit);
+    at 100 TB the pandas-UDF form (simhash32 over Arrow batches) cuts
+    the 32× row blowup — both kept, parity-tested.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    # token hash: first 8 md5 hex chars → uint32
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    bits = df.sparkSession.range(0, 32).select(F.col("id").cast("int").alias("b"))
+    votes = (
+        tok.withColumn("h", h)
+        .crossJoin(F.broadcast(bits))
+        .withColumn(
+            "vote",
+            F.when(
+                (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_udf():
+    """Arrow-batched SimHash (the scale path)."""
+
+    @pandas_udf("long")
+    def sh(text: pd.Series) -> pd.Series:
+        return text.map(simhash32)
+
+    return sh
+
+
+def simhash_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over 32-bit signatures.
+
+    Test-scale all-pairs; the scale path blocks on signature bytes
+    (4 rotations × 1-byte block key ⇒ any pair within Hamming 3 shares
+    a block) before the distance check — noted, not needed at sf0.1.
+    """
+    a = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic near-dups: pairs with cosine ≥ threshold.
+
+    Dot/norm via fold-left ``F.aggregate`` in array order — fully
+    deterministic double arithmetic (matches the SQL oracle after
+    rounding). All-pairs here = the verify stage; candidate generation
+    at scale is operators/similarity.py's LSH/IVF bucketing.
+    """
+    from ais_etl_spark.operators.similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = v.select(F.col(id_col).alias("doc_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("doc_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

@@ -1,0 +1,262 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline = brute-force cosine top-k (the exact answer, and the verify
+oracle for everything else); scale paths = IVF cell-probing and
+random-hyperplane LSH bucketing, both expressed as plain DataFrame
+joins so Catalyst/AQE handle the physical strategy.
+
+Scale story (100 TB / 10^10 vectors):
+
+- Brute force is O(n·q) dot products: fine when the *query* side is
+  small (broadcast) — that is exactly the shape below: queries
+  broadcast, corpus streamed, per-partition top-k partial agg before
+  the global top-k (no all-to-one shuffle of the corpus).
+- IVF: k-means-ish cells (here: deterministic seed vectors as
+  centroids — no iterative training dependency), corpus partitioned
+  by cell id; a query probes ``nprobe`` nearest cells, so the join
+  touches nprobe/ncells of the data. Cell id is a perfect bucketing/
+  partition column for the lake table at rest.
+- LSH: sign-of-projection bits onto ``nbits`` deterministic
+  md5-derived hyperplanes → bucket key; candidate = same bucket.
+  Recall grows with band count like MinHash-LSH.
+
+All arithmetic is fold-left ``F.aggregate`` over the array — sequential
+double ops, deterministic and identical to the DuckDB oracle's
+transliteration (rounded to 6 dp before ranking so fp noise cannot
+flip ranks across engines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _fold_sum(arr) -> "F.Column":
+    """Sequential (array-order) double sum — deterministic fp."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_expr(a, b) -> "F.Column":
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def norm_expr(a) -> "F.Column":
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine_expr(a, b) -> "F.Column":
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query.
+
+    Physical plan: broadcast(queries) ⋈ corpus (no shuffle of the big
+    side), then rank. The window's partition key is ``query_id`` —
+    q partitions, each n rows; at scale replace with the partial
+    top-k aggregate (min-heap per partition via groupBy query_id +
+    slice(sort_array(collect_list))) — same result, map-side combined.
+    Returns (query_id, neighbor_id, rank, cosine) — self-matches
+    excluded.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) cells
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (cell). Centroids
+    broadcast; one pass, no shuffle of the corpus. Output adds
+    ``cell`` — use it as the lake-table partition column at rest."""
+    c = centroids.select(
+        F.col("cell"), F.col(vec_col).cast("array<double>").alias("centv")
+    )
+    scored = corpus.withColumn("_v", F.col(vec_col).cast("array<double>")).join(
+        F.broadcast(c)
+    ).withColumn("_sim", F.round(cosine_expr(F.col("_v"), F.col("centv")), 6))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_sim", "_v", "centv")
+    )
+
+
+def seed_centroids(
+    corpus: DataFrame, n_cells: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic centroids: the ``n_cells`` lowest-id vectors.
+    (A k-means refinement would iterate ivf_assign + groupBy-avg;
+    seeding keeps the operator dependency-free and replay-stable.)"""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.monotonically_increasing_id().cast("int").alias("cell"),
+            F.col(vec_col),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k probing ``nprobe`` cells per query: search cost ≈
+    nprobe/n_cells of brute force. Join key is ``cell`` — an equi-join
+    the planner co-partitions; a hot cell is AQE-splittable."""
+    cents = seed_centroids(corpus, n_cells, vec_col, id_col)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    # nprobe nearest cells per query (centroids tiny → broadcast)
+    qcells = ivf_probe_cells(queries, cents, nprobe, vec_col, id_col)
+    scored = (
+        assigned.join(qcells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    c = centroids.select("cell", F.col(vec_col).cast("array<double>").alias("centv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = q.join(F.broadcast(c)).withColumn(
+        "_sim", F.round(cosine_expr(F.col("qv"), F.col("centv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell", "qv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH buckets
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state,
+    identical on every executor/run (replay determinism, SURVEY §7)."""
+    planes = []
+    for b in range(nbits):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"hp:{b}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``bucket``: sign bits of projections onto nbits fixed
+    hyperplanes. Pure built-ins: the planes are literal arrays folded
+    with the vector — whole-stage codegen, zero Python."""
+    v = F.col(vec_col).cast("array<double>")
+    planes = _hyperplanes(dim, nbits)
+    bucket = F.lit(0).cast("long")
+    for b, row in enumerate(planes):
+        proj = _fold_sum(
+            F.zip_with(v, F.array(*[F.lit(x) for x in row]), lambda x, y: x * y)
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket. Equi-join on
+    ``bucket`` — candidates ≈ n/2^nbits per query."""
+    c = lsh_bucket(corpus, dim, nbits, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "bucket",
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = lsh_bucket(queries, dim, nbits, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        "bucket",
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

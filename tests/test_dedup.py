@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ais_etl_spark.operators import dedup as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    (3, "completely different text about spark partitions and shuffle plans"),
+    (4, "tiny"),  # < 3 tokens → no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact(docs):
+    rows = {r["content_md5"]: r for r in D.dedup_exact(docs).collect()}
+    dup_hash = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert rows[dup_hash]["n_docs"] == 2
+    assert rows[dup_hash]["keep_id"] == 0
+    assert len(rows) == 4
+
+
+def test_shingles_match_python(docs):
+    got = docs.select("doc_id", D.shingles(F.col("text"), 3).alias("s")).collect()
+    for r in got:
+        toks = DOCS[r["doc_id"]][1].split()
+        want = [" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))]
+        assert r["s"] == want
+
+
+def test_minhash_explode_vs_udf_parity(docs):
+    """The built-in explode formulation and the Arrow-batched scale UDF
+    must produce identical signatures."""
+    exploded = D.minhash_signatures(docs, k=8).collect()
+    sig_by_doc: dict[int, dict[int, str]] = {}
+    for r in exploded:
+        sig_by_doc.setdefault(r["doc_id"], {})[r["j"]] = r["h"]
+    udf = D.minhash_signature_udf(k=8)
+    fast = {r["doc_id"]: r["sig"] for r in docs.select("doc_id", udf("text").alias("sig")).collect()}
+    for doc_id, sig in fast.items():
+        if sig is None:
+            assert doc_id not in sig_by_doc  # too short for shingles
+        else:
+            assert sig == [sig_by_doc[doc_id][j] for j in range(8)]
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs, k=8, bands=4).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert all(3 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard(docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert got[(0, 1)] == 1.0
+    # doc 2 differs in last token: 13 tokens → 11 shingles, 10 shared
+    assert got[(0, 2)] == round(10 / 12, 6)
+
+
+def test_ngram_jaccard_with_candidates(docs, spark):
+    cand = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    got = D.ngram_jaccard_pairs(docs, threshold=0.0, candidates=cand).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
+
+
+def test_simhash_builtin_matches_python(docs):
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    for doc_id, text in DOCS:
+        if doc_id in got:  # empty-token docs produce no row in explode form
+            assert got[doc_id] == D.simhash32(text), doc_id
+    udf = D.simhash_udf()
+    fast = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", udf("text").alias("sh")).collect()}
+    assert fast == {d: D.simhash32(t) for d, t in DOCS}
+
+
+def test_simhash_pairs(spark, docs):
+    sigs = docs.select("doc_id", D.simhash_udf()("text").alias("simhash"))
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             D.simhash_pairs(sigs, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs  # near-dup within hamming 8
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.01, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           D.embedding_cosine_pairs(vecs, threshold=0.99).collect()}
+    assert got == {(0, 1)}

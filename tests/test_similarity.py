@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ais_etl_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # deterministic unit-ish vectors in 4d
+    rows = []
+    for i in range(40):
+        v = [math.sin(i * 1.7 + d) for d in range(4)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def brute_force(rows, qid, k):
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    q = dict(rows)[qid]
+    scored = [
+        (round(cos(v, q), 6), nid) for nid, v in rows if nid != qid
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [nid for _, nid in scored[:k]]
+
+
+def test_cosine_topk_exact(vecs):
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in vecs.collect()]
+    queries = vecs.filter(F.col("vec_id") < 3)
+    got = S.cosine_topk(vecs, queries, k=5).collect()
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(3):
+        ordered = [nid for _, nid in sorted(by_q[qid])]
+        assert ordered == brute_force(rows, qid, 5), qid
+
+
+def test_ivf_topk_recall(vecs):
+    queries = vecs.filter(F.col("vec_id") < 3)
+    exact = S.cosine_topk(vecs, queries, k=5)
+    approx = S.ivf_topk(vecs, queries, k=5, n_cells=4, nprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # probing half the cells must recover at least half the true top-5
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_lsh_topk_subset_of_bucket(vecs):
+    queries = vecs.filter(F.col("vec_id") < 3)
+    got = S.lsh_topk(vecs, queries, dim=4, k=5, nbits=2)
+    buckets = {r["vec_id"]: r["bucket"] for r in
+               S.lsh_bucket(vecs, dim=4, nbits=2).collect()}
+    for r in got.collect():
+        assert buckets[r["neighbor_id"]] == buckets[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_lsh_bucket_deterministic(vecs):
+    b1 = {r["vec_id"]: r["bucket"] for r in S.lsh_bucket(vecs, dim=4, nbits=8).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in S.lsh_bucket(vecs, dim=4, nbits=8).collect()}
+    assert b1 == b2
+    assert 0 <= min(b1.values()) and max(b1.values()) < 256
