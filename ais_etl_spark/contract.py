@@ -1,0 +1,859 @@
+"""Driver-contract queries: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL twin.
+
+Engine-portability rules that keep the driver's value-hash compare
+green (it sorts columns by name and hashes values):
+
+- identical output column NAMES in Spark and SQL (alias everything);
+- hashes derived from md5 only (bit-identical across engines);
+- timestamps exported as epoch millis (``unix_millis`` ↔ ``epoch_ms``);
+- double aggregates summed as DECIMAL(18,4) then cast back to DOUBLE —
+  decimal addition is exact, so partial-agg order cannot skew fp sums;
+- per-row double arithmetic (cosines) uses sequential fold-left in both
+  engines and is rounded to 6 dp *before* any ranking, so fp noise
+  cannot flip ranks;
+- counts/sizes cast to BIGINT on both sides (DuckDB sums are HUGEINT,
+  Spark sizes are INT).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ais_etl_spark.feed import CDC_FEED_ORACLE_CTE, cdc_feed_from_events
+from ais_etl_spark.lake import LakeTable
+from ais_etl_spark.operators import dedup as D
+from ais_etl_spark.operators import similarity as S
+from ais_etl_spark.operators import textstats as T
+from ais_etl_spark.streaming.ingest import PAGES_SCHEMA, apply_cdc_batch, run_ingest, write_feed_chunks
+from ais_etl_spark.transforms.builtin import (
+    gzip_compress_udf,
+    gzip_decompress_udf,
+    synth_html_udf,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _ms(col) -> "F.Column":
+    """epoch millis; parquet timestamps surface as TIMESTAMP_NTZ in
+    Spark 4 — cast to TIMESTAMP (session TZ = UTC) first, matching
+    DuckDB's naive-as-UTC epoch_ms()."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.unix_millis(c.cast("timestamp"))
+
+
+def _dec_sum(col, alias: str):
+    """Exact (order-independent) sum of a double column: per-row cast
+    to DECIMAL(18,4) → decimal sum → back to DOUBLE."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+_DEC = "CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+
+# ===========================================================================
+# CDC core (SURVEY §2.3: dedup/window/exactly-once — the engine itself)
+# ===========================================================================
+
+_CDC_WIN = (
+    "win AS (SELECT *, row_number() OVER "
+    "(PARTITION BY url ORDER BY warc_ts DESC, event_id DESC) AS rn FROM cdc)"
+)
+
+
+@_q(
+    "cdc_feed_derive",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip().rstrip()}
+SELECT event_id, op, url, epoch_ms(warc_ts) AS warc_ts_ms, lang, text
+FROM cdc""",
+)
+def q_cdc_feed_derive(spark, sf_dir):
+    """The binlog-derivation projection (scan + CASE + concat)."""
+    return cdc_feed_from_events(spark, sf_dir).select(
+        "event_id",
+        "op",
+        "url",
+        _ms("warc_ts").alias("warc_ts_ms"),
+        "lang",
+        "text",
+    )
+
+
+@_q(
+    "cdc_lww_snapshot",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, event_id, lang, text
+FROM win WHERE rn = 1 AND op <> 'D'""",
+)
+def q_cdc_lww_snapshot(spark, sf_dir):
+    """Batch LWW dedup (window formulation) + tombstone filter — the
+    declarative spec of the engine's merge semantics."""
+    from ais_etl_spark.operators.lww import lww_window
+
+    feed = cdc_feed_from_events(spark, sf_dir)
+    return (
+        lww_window(feed, key="url", order_cols=("warc_ts", "event_id"))
+        .filter(F.col("op") != "D")
+        .select(
+            "url",
+            _ms("warc_ts").alias("warc_ts_ms"),
+            "event_id",
+            "lang",
+            "text",
+        )
+    )
+
+
+@_q(
+    "cdc_lww_agg_parity",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, event_id, lang, text
+FROM win WHERE rn = 1 AND op <> 'D'""",
+)
+def q_cdc_lww_agg_parity(spark, sf_dir):
+    """Same result via the scale formulation: struct-max hash aggregate
+    (map-side combine absorbs hot-key skew — SURVEY §2 lww notes)."""
+    from ais_etl_spark.operators.lww import lww_latest
+
+    feed = cdc_feed_from_events(spark, sf_dir)
+    return (
+        lww_latest(feed, key="url", order_cols=("warc_ts", "event_id"))
+        .filter(F.col("op") != "D")
+        .select(
+            "url",
+            _ms("warc_ts").alias("warc_ts_ms"),
+            "event_id",
+            "lang",
+            "text",
+        )
+    )
+
+
+@_q(
+    "cdc_snapshot_by_lang",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+FROM win WHERE rn = 1 AND op <> 'D' GROUP BY lang""",
+)
+def q_cdc_snapshot_by_lang(spark, sf_dir):
+    """Flagship: live-page counts per language after full replay."""
+    snap = q_cdc_lww_snapshot(spark, sf_dir)
+    return snap.groupBy("lang").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("url").alias("n_urls"),
+    )
+
+
+@_q(
+    "cdc_url_churn",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       epoch_ms(min(warc_ts)) AS first_ms,
+       epoch_ms(max(warc_ts)) AS last_ms
+FROM cdc GROUP BY url""",
+)
+def q_cdc_url_churn(spark, sf_dir):
+    """Per-key churn profile (grouped agg with map-side combine)."""
+    feed = cdc_feed_from_events(spark, sf_dir)
+    return feed.groupBy("url").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("op") == "U").cast("bigint")).alias("n_updates"),
+        F.sum((F.col("op") == "D").cast("bigint")).alias("n_deletes"),
+        _ms(F.min("warc_ts")).alias("first_ms"),
+        _ms(F.max("warc_ts")).alias("last_ms"),
+    )
+
+
+@_q(
+    "cdc_deleted_urls",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT url FROM cdc
+EXCEPT
+SELECT url FROM win WHERE rn = 1 AND op <> 'D'""",
+)
+def q_cdc_deleted_urls(spark, sf_dir):
+    """Set-op leg (EXCEPT): urls seen in the feed but dead in the
+    final snapshot."""
+    feed = cdc_feed_from_events(spark, sf_dir).select("url")
+    live = q_cdc_lww_snapshot(spark, sf_dir).select("url")
+    # subtract = EXCEPT (set semantics); exceptAll would only remove one
+    # occurrence per live url from the multiset
+    return feed.subtract(live)
+
+
+_ENGINE_REPLAY_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, text, lang
+FROM win WHERE rn = 1 AND op <> 'D'"""
+
+
+def _feed_with_html(spark, sf_dir) -> DataFrame:
+    """events-derived CDC feed + synthetic gzip html payloads (null for
+    deletes) — the engine input; text/lang travel only inside html, so
+    the engine must re-extract them (byte-identical invariant)."""
+    feed = cdc_feed_from_events(spark, sf_dir)
+    return feed.select(
+        "event_id",
+        "op",
+        "url",
+        "warc_ts",
+        F.when(
+            F.col("op") != "D", synth_html_udf(F.col("url"), F.col("text"), F.col("lang"))
+        ).alias("html"),
+        F.lit(0).cast("int").alias("source_part"),
+        F.col("event_id").alias("offset"),
+    )
+
+
+@_q("cdc_engine_replay", _ENGINE_REPLAY_ORACLE)
+def q_cdc_engine_replay(spark, sf_dir):
+    """END-TO-END ENGINE CHECK: build gzip-html events, MERGE them into
+    a fresh LakeTable in 4 ordered batches (html→text extraction in the
+    pipeline), read the committed final snapshot — must equal the ANSI
+    SQL replay row-for-row (north_rule's replay-equality bar)."""
+    feed = _feed_with_html(spark, sf_dir)
+    lo, hi = feed.agg(F.min("event_id"), F.max("event_id")).first()
+    tmp = tempfile.mkdtemp(prefix="ais-etl-contract-")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
+        order_col="warc_ts", n_buckets=16,
+    )
+    n_batches = 4
+    step = (hi - lo) // n_batches + 1
+    for b in range(n_batches):
+        chunk = feed.filter(
+            (F.col("event_id") >= lo + b * step)
+            & (F.col("event_id") < lo + (b + 1) * step)
+        )
+        apply_cdc_batch(table, chunk, batch_id=f"contract-{b}")
+    return table.read().select(
+        "url", _ms("warc_ts").alias("warc_ts_ms"), "text", "lang"
+    )
+
+
+@_q("cdc_stream_ingest", _ENGINE_REPLAY_ORACLE)
+def q_cdc_stream_ingest(spark, sf_dir):
+    """STREAMING ENGINE CHECK: same feed tailed as binlog segments by
+    Structured Streaming (availableNow) through the checkpointed
+    foreachBatch MERGE — final committed state must equal the SQL
+    replay. Exactly-once kill/resume is exercised in tests/."""
+    feed = _feed_with_html(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ais-etl-stream-contract-")
+    feed_dir = os.path.join(tmp, "feed")
+    write_feed_chunks(feed, feed_dir, n_chunks=3)
+    table = run_ingest(
+        spark,
+        feed_dir=feed_dir,
+        table_path=os.path.join(tmp, "pages"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    return table.read().select(
+        "url", _ms("warc_ts").alias("warc_ts_ms"), "text", "lang"
+    )
+
+
+@_q("cdc_schema_evolution")  # rows-only: DDL replay is not ANSI-SQL-expressible
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Schema-evolution replay: merge → fenced add_column →
+    merge → rename_column, zero data rewrite; returns the final state
+    with the evolved schema (old rows null-backfilled)."""
+    feed = _feed_with_html(spark, sf_dir)
+    lo, hi = feed.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="ais-etl-schema-contract-")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
+        order_col="warc_ts", n_buckets=16,
+    )
+    schema_events = [
+        {"kind": "add_column", "col_name": "quality", "col_type": "double",
+         "fence_event_id": mid},
+        {"kind": "rename_column", "col_name": "quality", "new_name": "quality_score",
+         "fence_event_id": hi},
+    ]
+    apply_cdc_batch(
+        table, feed.filter(F.col("event_id") <= mid), "sc-0", schema_events
+    )
+    apply_cdc_batch(
+        table, feed.filter(F.col("event_id") > mid), "sc-1", schema_events
+    )
+    return table.read().select(
+        "url", _ms("warc_ts").alias("warc_ts_ms"), "lang", "quality_score"
+    )
+
+
+@_q("cdc_lineage")  # rows-only: lineage depends on engine batch/commit ids
+def q_cdc_lineage(spark, sf_dir):
+    """Per-batch lineage rows (source offset ranges, snapshot id,
+    insert/update/delete/stale counts) emitted by the merge commits."""
+    feed = _feed_with_html(spark, sf_dir)
+    lo, hi = feed.agg(F.min("event_id"), F.max("event_id")).first()
+    tmp = tempfile.mkdtemp(prefix="ais-etl-lineage-contract-")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
+        order_col="warc_ts", n_buckets=16,
+    )
+    mid = (lo + hi) // 2
+    apply_cdc_batch(table, feed.filter(F.col("event_id") <= mid), "ln-0")
+    apply_cdc_batch(table, feed.filter(F.col("event_id") > mid), "ln-1")
+    return table.lineage().select(
+        "batch_id", "snapshot_id", "events", "inserts", "updates", "deletes",
+        "stale_noops",
+    )
+
+
+# ===========================================================================
+# Relational operator checklist (SURVEY §2.3)
+# ===========================================================================
+
+
+@_q(
+    "rel_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+       {_DEC.format(x='l_quantity')} AS sum_qty,
+       {_DEC.format(x='l_extendedprice')} AS sum_base_price,
+       {_DEC.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       ROUND({_DEC.format(x='l_quantity')} / count(*), 4) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_rel_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter pushdown + grouped agg (decimal-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"
+            ),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "rel_revenue_by_nation",
+    f"""SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {_DEC.format(x='o.o_totalprice')} AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY n.n_name""",
+)
+def q_rel_revenue_by_nation(spark, sf_dir):
+    """Multi-join star query — small dims broadcast (Catalyst picks
+    BroadcastHashJoin; asserted in PLANS audit)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+@_q(
+    "rel_top_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) t
+WHERE rnk <= 3""",
+)
+def q_rel_top_orders_per_customer(spark, sf_dir):
+    """Window function leg: per-customer top-3 orders."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@_q(
+    "rel_rollup_lineitem",
+    """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rel_rollup_lineitem(spark, sf_dir):
+    """Grouping-sets leg: ROLLUP with coalesced subtotal labels."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "rel_top10_revenue_days",
+    f"""SELECT epoch_ms(o_orderdate) AS day_ms,
+       {_DEC.format(x='o_totalprice')} AS revenue
+FROM orders GROUP BY o_orderdate
+ORDER BY revenue DESC, day_ms ASC LIMIT 10""",
+)
+def q_rel_top10_revenue_days(spark, sf_dir):
+    """Sort/limit (top-k) leg: Spark plans TakeOrderedAndProject —
+    per-partition partial top-k, no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderdate")
+        .agg(_dec_sum(F.col("o_totalprice"), "revenue"))
+        .select(_ms("o_orderdate").alias("day_ms"), "revenue")
+        .orderBy(F.desc("revenue"), F.asc("day_ms"))
+        .limit(10)
+    )
+
+
+@_q(
+    "rel_events_sessionize",
+    """SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       epoch_ms(max(ts)) AS last_ms
+FROM events GROUP BY user_id, event_type""",
+)
+def q_rel_events_sessionize(spark, sf_dir):
+    """events-table grouped profile (scan+filter+agg over the raw
+    driver table)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") > 50).cast("bigint")).alias("n_high"),
+        _ms(F.max("ts")).alias("last_ms"),
+    )
+
+
+# ===========================================================================
+# Reference transformers (SURVEY §2.1)
+# ===========================================================================
+
+
+@_q("tf_echo", "SELECT doc_id, text, lang, source, n_chars FROM documents")
+def q_tf_echo(spark, sf_dir):
+    """echo: identity (reference transformers/echo/fastapi_server.py:15-16)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@_q("tf_hello_world", "SELECT doc_id, 'Hello World!' AS greeting FROM documents")
+def q_tf_hello_world(spark, sf_dir):
+    """hello_world: constant generator (hello_world/fastapi_server.py:18-19)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("Hello World!").alias("greeting")
+    )
+
+
+@_q("tf_md5", "SELECT doc_id, md5(text) AS digest FROM documents")
+def q_tf_md5(spark, sf_dir):
+    """md5 content hash (md5/fastapi_server.py:22-26) via built-in F.md5."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+
+
+@_q("tf_compress_roundtrip", "SELECT doc_id, text AS text_rt FROM documents")
+def q_tf_compress_roundtrip(spark, sf_dir):
+    """compress transformer (compress/fastapi_server.py:73-146):
+    gzip-compress then magic-checked decompress must round-trip."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.decode(
+            gzip_decompress_udf(gzip_compress_udf(F.encode(F.col("text"), "utf-8"))),
+            "utf-8",
+        ).alias("text_rt"),
+    )
+
+
+@_q(
+    "tf_regex_route",
+    """SELECT doc_id, source,
+       regexp_matches(source, '^src1[0-9]$') AS route_match,
+       CASE WHEN regexp_matches(source, '^src1[0-9]$')
+            THEN 'routed/' || source END AS route_dst
+FROM documents""",
+)
+def q_tf_regex_route(spark, sf_dir):
+    """batch_rename router (batch_rename/fastapi_server.py:44-61):
+    regex match flag + destination key for the second sink."""
+    from ais_etl_spark.transforms.registry import apply_transform
+
+    d = _t(spark, sf_dir, "documents")
+    out = apply_transform(
+        d, "regex_route", src="source", pattern="^src1[0-9]$", dst_prefix="routed/"
+    )
+    return out.select("doc_id", "source", "route_match", "route_dst")
+
+
+@_q("tf_xxhash")  # rows-only: DuckDB lacks Spark-compatible xxhash64
+def q_tf_xxhash(spark, sf_dir):
+    """hash_with_args (hash_with_args/fastapi_server.py:56-86): seeded
+    xxhash64, seed 42 = Spark built-in fast path."""
+    from ais_etl_spark.transforms.builtin import xxhash_seeded_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", xxhash_seeded_udf(42)(F.col("text")).alias("xxh"))
+
+
+@_q("tf_spec_pipeline")  # rows-only: spec-compiled DataFrame pipeline
+def q_tf_spec_pipeline(spark, sf_dir):
+    """tar2tf-style spec-compiled pipeline (tar2tf/src/main.go:32-47):
+    ordered conversions + selection compiled to a DataFrame chain."""
+    from ais_etl_spark.transforms.spec import compile_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    spec = [
+        {"op": "md5", "src": "text", "dst": "digest"},
+        {"op": "with_column", "name": "n_words", "expr": "size(split(text, ' '))"},
+        {"op": "filter", "expr": "n_chars > 100"},
+        {"op": "rename", "from": "source", "to": "origin"},
+        {"op": "select", "cols": ["doc_id", "origin", "digest", "n_words"]},
+    ]
+    return compile_pipeline(d, spec)
+
+
+# ===========================================================================
+# Text analysis (training-data curation)
+# ===========================================================================
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+    return f"CAST(len(list_intersect(list_distinct({_TOK}), [{words}])) AS INT)"
+
+
+_LANG_ID_ORACLE = (
+    "SELECT doc_id, "
+    + ", ".join(f"{_lang_score_sql(lg)} AS score_{lg}" for lg in T.LANG_MARKERS)
+    + ", CASE WHEN "
+    + " <= 0 AND ".join(f"{_lang_score_sql(lg)}" for lg in T.LANG_MARKERS)
+    + " <= 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN {_lang_score_sql(lg)} = greatest("
+        + ", ".join(_lang_score_sql(l2) for l2 in T.LANG_MARKERS)
+        + f") THEN '{lg}'"
+        for lg in T.LANG_MARKERS
+    )
+    + " END AS pred_lang FROM documents"
+)
+
+
+@_q("txt_lang_id", _LANG_ID_ORACLE)
+def q_txt_lang_id(spark, sf_dir):
+    """Marker-word language ID (argmax with fixed tie order)."""
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+_SW = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+
+_QUALITY_ORACLE = f"""SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars_text,
+  CAST(len({_TOK}) AS INT) AS n_words,
+  ROUND(list_sum(list_transform({_TOK}, x -> length(x)))
+        / greatest(len({_TOK}), 1), 4) AS mean_word_len,
+  ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  ROUND(len(list_filter({_TOK}, x -> list_contains([{_SW}], x)))
+        / greatest(len({_TOK}), 1), 6) AS stopword_ratio,
+  (len({_TOK}) >= 10
+   AND list_sum(list_transform({_TOK}, x -> length(x)))
+       / greatest(len({_TOK}), 1) >= 2.0
+   AND list_sum(list_transform({_TOK}, x -> length(x)))
+       / greatest(len({_TOK}), 1) <= 12.0
+   AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+       / greatest(length(text), 1) <= 0.2) AS keep
+FROM documents"""
+
+
+@_q("txt_quality", _QUALITY_ORACLE)
+def q_txt_quality(spark, sf_dir):
+    """C4-style quality features + keep flag."""
+    return T.quality_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "txt_token_counts",
+    f"""SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+  CAST(len({_TOK}) AS INT) AS n_word_tokens,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+      AS n_bpe_tokens,
+  CAST(len(list_distinct({_TOK})) AS INT) AS n_distinct_words
+FROM documents""",
+)
+def q_txt_token_counts(spark, sf_dir):
+    """Whitespace / word / BPE-ish / distinct token counts."""
+    return T.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "txt_fingerprint",
+    """SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents""",
+)
+def q_txt_fingerprint(spark, sf_dir):
+    """Whitespace-normalized md5 fingerprint."""
+    return T.fingerprint_md5(_t(spark, sf_dir, "documents"))
+
+
+@_q("txt_winnow_fingerprint")  # rows-only: stateful rolling window (pandas UDF)
+def q_txt_winnow_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    udf = T.winnow_fingerprint_udf(k=5, window=4)
+    return d.select("doc_id", udf("text").alias("winnow_fp"))
+
+
+# ===========================================================================
+# Deduplication (training-data curation)
+# ===========================================================================
+
+
+@_q(
+    "dedup_exact",
+    """SELECT md5(text) AS content_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return D.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLES = (
+    f"CASE WHEN len({_TOK}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_TOK}) - 2), "
+    f"i -> {_TOK}[i] || ' ' || {_TOK}[i+1] || ' ' || {_TOK}[i+2]) "
+    "ELSE [] END"
+)
+
+_MINHASH_CTE = f"""sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+), mh AS (
+  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) tj
+  GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS sig
+  FROM mh GROUP BY doc_id, j // 4
+)"""
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""WITH {_MINHASH_CTE}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id""",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=16, bands=4, shingle_n=3
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+    )
+
+
+_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h8, {c}, 1)) - 1) * power(16, {8 - c})"
+    for c in range(1, 9)
+)
+
+_SIMHASH_ORACLE = f"""WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS t FROM documents
+), th AS (
+  SELECT doc_id, CAST({_HEX8.replace('h8', 'substr(md5(t), 1, 8)')} AS BIGINT) AS h
+  FROM tok
+), votes AS (
+  SELECT doc_id, b,
+         CAST(sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+                       THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) tb
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id"""
+
+
+@_q("dedup_simhash", _SIMHASH_ORACLE)
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND({_cos_sql('a.e', 'b.e')}, 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND({_cos_sql('a.e', 'b.e')}, 6) >= 0.2""",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return D.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
+# ===========================================================================
+# Similarity search (ANN)
+# ===========================================================================
+
+
+@_q(
+    "sim_cosine_topk",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND({_cos_sql('v.e', 'q.e')}, 6) AS cosine
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 10""",
+)
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=10)
+
+
+@_q("sim_ivf_topk")  # rows-only: approximate (recall asserted in tests)
+def q_sim_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, n_cells=8, nprobe=2)
+
+
+@_q("sim_lsh_topk")  # rows-only: approximate (bucket containment in tests)
+def q_sim_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(emb, queries, dim=64, k=10, nbits=4)
+
+
+# ===========================================================================
+# Multimodal plumbing (binary columns; codecs stubbed)
+# ===========================================================================
+
+
+@_q("mm_features")  # rows-only: fake-decode path (codec libs not installed)
+def q_mm_features(spark, sf_dir):
+    """Binary media plumbing over synthetic payloads derived from
+    documents (deterministic), through iterator-form mapInPandas."""
+    from ais_etl_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(
+            F.lit(b"\xff\xd8\xff"), F.encode(F.col("text"), "utf-8")
+        ).alias("payload"),
+        F.lit("jpeg").alias("meta_format"),
+        F.lit(64).alias("meta_width"),
+        F.lit(64).alias("meta_height"),
+        F.lit(None).cast("int").alias("meta_duration_ms"),
+    )
+    return extract_features(d, dim=8)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)
