@@ -324,6 +324,68 @@ def q_cdc_lineage(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_asof_lookup",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()},
+uniq AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url, warc_ts
+                                 ORDER BY event_id DESC) AS _rn FROM cdc
+  ) WHERE _rn = 1
+),
+probes AS (
+  SELECT event_id AS probe_id,
+         'https://site-' || CAST(user_id % 37 AS VARCHAR)
+             || '.example.com/page/' || CAST(user_id % 211 AS VARCHAR) AS url,
+         ts + INTERVAL 30 MINUTE AS pts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.url, epoch_ms(p.pts) AS probe_ms, p.probe_id,
+       epoch_ms(u.warc_ts) AS asof_ms, u.event_id, u.op, u.lang
+FROM probes p ASOF LEFT JOIN uniq u
+  ON p.url = u.url AND p.pts >= u.warc_ts""",
+)
+def q_cdc_asof_lookup(spark, sf_dir):
+    """As-of (point-in-time) join: page state visible at each probe
+    time — union-sort formulation (one shuffle, no range-join blowup);
+    oracle = DuckDB's native ASOF JOIN."""
+    from ais_etl_spark.operators.asof import asof_join
+
+    feed = cdc_feed_from_events(spark, sf_dir).select(
+        "url", "warc_ts", "event_id", "op", "lang"
+    )
+    # unique per (url, warc_ts): max event_id wins (determinism)
+    w = Window.partitionBy("url", "warc_ts").orderBy(F.desc("event_id"))
+    uniq = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    url = F.concat(
+        F.lit("https://site-"), (F.col("user_id") % 37).cast("string"),
+        F.lit(".example.com/page/"), (F.col("user_id") % 211).cast("string"),
+    )
+    probes = ev.select(
+        F.col("event_id").alias("probe_id"),
+        url.alias("url"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("pts"),
+    )
+    out = asof_join(
+        probes, uniq, key="url", probe_ts="pts", state_ts="warc_ts",
+        payload_cols=["event_id", "op", "lang"],
+    )
+    return out.select(
+        "url",
+        _ms("pts").alias("probe_ms"),
+        "probe_id",
+        _ms("asof_ts").alias("asof_ms"),
+        "event_id",
+        "op",
+        "lang",
+    )
+
+
 # ===========================================================================
 # Relational operator checklist (SURVEY §2.3)
 # ===========================================================================

@@ -279,13 +279,27 @@ class LakeTable:
     def _bucket_expr(self, key_col):
         return F.pmod(F.xxhash64(key_col), F.lit(self.commit()["n_buckets"])).cast("int")
 
-    def merge(self, events: DataFrame, batch_id: str) -> dict:
+    def merge(
+        self,
+        events: DataFrame,
+        batch_id: str,
+        post_dedup_transform=None,
+    ) -> dict:
         """Apply a batch of CDC events (op/url/warc_ts/event_id +
         payload columns ⊆ schema) with LWW + tombstones. Idempotent on
         ``batch_id``. Returns the lineage dict of the commit (empty
         dict if the batch was already applied).
 
-        Physical plan: dedup batch (map-side combine) → bucket →
+        ``post_dedup_transform`` (df -> df, row-wise deterministic) is
+        applied AFTER the batch-local LWW — the expensive extraction
+        UDFs (html→text/lang) run once per *winning* key instead of
+        once per event, and on post-shuffle partitions (cores-wide)
+        instead of input splits. For an update-heavy feed this cuts
+        Python-UDF work by the dup factor and fixes the few-input-
+        splits parallelism cliff.
+
+        Physical plan: dedup batch (map-side combine absorbs hot-key
+        skew) → persist winners → transform winners → bucket →
         manifest-prune current snapshot to affected buckets → per-key
         struct-max against current rows → rewrite only those buckets.
         """
@@ -302,36 +316,67 @@ class LakeTable:
             if col not in events.columns:
                 raise ValueError(f"events missing required column {col!r}")
 
-        # lineage: per-source-partition offset ranges (before dedup)
-        has_offsets = {"source_part", "offset"} <= set(events.columns)
-        offsets = (
-            [
-                r.asDict()
-                for r in events.groupBy("source_part")
+        # 1. batch-local LWW (one row per key; combiner absorbs skew),
+        #    BEFORE the expensive payload transform. NOT materialized —
+        #    it fuses into the single write job below.
+        payload_in = [p for p in payload_names if p in events.columns]
+        ev = events.select(
+            key, order_col, F.col("event_id").alias(_SEQ), "op", *payload_in
+        )
+        winners = lww_latest(
+            ev, key=key, order_cols=(order_col, _SEQ),
+            payload_cols=["op", *payload_in],
+        )
+        touched, offsets = self._batch_stats(events, key)
+        return self._merge_winners(
+            c, winners, batch_id, touched, post_dedup_transform, offsets
+        )
+
+    def _batch_stats(self, events: DataFrame, key: str):
+        """ONE column-pruned pass over the raw events for both merge
+        inputs: per-source-partition offset ranges (lineage) and the
+        set of affected buckets (manifest pruning). Reads only the key
+        + offset columns — never the payload. Every key in the batch
+        has a winner, so raw-event buckets == winner buckets."""
+        b = self._bucket_expr(F.col(key)).alias("_b")
+        if {"source_part", "offset"} <= set(events.columns):
+            rows = (
+                events.select("source_part", "offset", b)
+                .groupBy("source_part")
                 .agg(
                     F.min("offset").alias("min_offset"),
                     F.max("offset").alias("max_offset"),
                     F.count("*").alias("events"),
+                    F.collect_set("_b").alias("_bset"),
                 )
                 .collect()
+            )
+            touched = sorted({x for r in rows for x in r["_bset"]})
+            offsets = [
+                {k: r[k] for k in ("source_part", "min_offset", "max_offset", "events")}
+                for r in rows
             ]
-            if has_offsets
-            else []
-        )
+            return touched, offsets
+        touched = sorted(r[0] for r in events.select(b).distinct().collect())
+        return touched, []
 
-        # 1. batch-local LWW (one row per key; combiner absorbs skew)
-        payload_in = [p for p in payload_names if p in events.columns]
-        missing = [p for p in payload_names if p not in events.columns]
-        ev = events.select(
-            key, order_col, F.col("event_id").alias(_SEQ), "op", *payload_in
-        )
-        for p in missing:
-            typ = next(x["type"] for x in cur_cols if x["name"] == p)
-            ev = ev.withColumn(p, F.lit(None).cast(typ))
-        ev = lww_latest(
-            ev, key=key, order_cols=(order_col, _SEQ),
-            payload_cols=["op", *payload_names],
-        )
+    def _merge_winners(
+        self, c, winners, batch_id, touched, post_dedup_transform, offsets
+    ) -> dict:
+        key = c["key"]
+        order_col = c["order_col"]
+        cur_cols = self.schema_cols(c)
+        payload_names = [
+            col["name"] for col in cur_cols if col["name"] not in (key, order_col)
+        ]
+
+        # 3b. payload transform on winners only (one UDF pass,
+        #     post-shuffle partitioning = cores-wide)
+        ev = post_dedup_transform(winners) if post_dedup_transform else winners
+        for p in payload_names:
+            if p not in ev.columns:
+                typ = next(x["type"] for x in cur_cols if x["name"] == p)
+                ev = ev.withColumn(p, F.lit(None).cast(typ))
         incoming = ev.select(
             key,
             order_col,
@@ -340,11 +385,6 @@ class LakeTable:
             *payload_names,
             F.lit(True).alias("_new"),
         ).withColumn("_bucket", self._bucket_expr(F.col(key)))
-
-        # 2. affected buckets (tiny collect: ≤ n_buckets ints)
-        touched = sorted(
-            r[0] for r in incoming.select("_bucket").distinct().collect()
-        )
 
         # 3. current rows in touched buckets only (manifest pruning)
         current = (
@@ -381,43 +421,43 @@ class LakeTable:
             F.col("_has_new"),
             F.col("_has_cur"),
         )
-        result = result.persist()
-        try:
-            counts = result.agg(
-                F.sum(
-                    (F.col("_won_new") & ~F.col(_DELETED) & (F.col("_has_cur") == 0)).cast("long")
-                ).alias("inserts"),
-                F.sum(
-                    (F.col("_won_new") & ~F.col(_DELETED) & (F.col("_has_cur") == 1)).cast("long")
-                ).alias("updates"),
-                F.sum(
-                    (F.col("_won_new") & F.col(_DELETED)).cast("long")
-                ).alias("deletes"),
-                F.sum(
-                    ((~F.col("_won_new")) & (F.col("_has_new") == 1)).cast("long")
-                ).alias("stale_noops"),
-                F.count("*").alias("rows_after"),
-            ).collect()[0].asDict()
 
-            # 5. rewrite touched buckets (CoW) — one dir per snapshot,
-            #    hive-partitioned by bucket for manifest entries
-            snap_id = c["snapshot_id"] + 1
-            rel_dir = f"{_DATA}/snap{snap_id:012d}"
-            out_dir = os.path.join(self.path, rel_dir)
-            ordered = [col["name"] for col in cur_cols]
-            (
-                result.select(*ordered, _SEQ, _DELETED, "_bucket")
-                .repartition(max(len(touched), 1), "_bucket")
-                .write.partitionBy("_bucket")
-                .parquet(out_dir)
-            )
-            written = {
-                int(d.split("=")[1])
-                for d in os.listdir(out_dir)
-                if d.startswith("_bucket=")
-            }
-        finally:
-            result.unpersist()
+        # 5. rewrite touched buckets (CoW) in ONE action: the merge
+        #    counters ride along as an Observation on the write job —
+        #    no second aggregation pass, no result.persist.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"merge-{batch_id}")
+        observed = result.observe(
+            obs,
+            F.sum(
+                (F.col("_won_new") & ~F.col(_DELETED) & (F.col("_has_cur") == 0)).cast("long")
+            ).alias("inserts"),
+            F.sum(
+                (F.col("_won_new") & ~F.col(_DELETED) & (F.col("_has_cur") == 1)).cast("long")
+            ).alias("updates"),
+            F.sum((F.col("_won_new") & F.col(_DELETED)).cast("long")).alias("deletes"),
+            F.sum(
+                ((~F.col("_won_new")) & (F.col("_has_new") == 1)).cast("long")
+            ).alias("stale_noops"),
+            F.count("*").alias("rows_after"),
+        )
+        snap_id = c["snapshot_id"] + 1
+        rel_dir = f"{_DATA}/snap{snap_id:012d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        ordered = [col["name"] for col in cur_cols]
+        (
+            observed.select(*ordered, _SEQ, _DELETED, "_bucket")
+            .repartition(max(len(touched), 1), "_bucket")
+            .write.partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        counts = obs.get
+        written = {
+            int(d.split("=")[1])
+            for d in os.listdir(out_dir)
+            if d.startswith("_bucket=")
+        }
 
         carry = [f for f in c["files"] if f["bucket"] not in set(touched)]
         new_files = [
@@ -455,6 +495,45 @@ class LakeTable:
         return lineage
 
     # ------------------------------------------------------------------
+    # maintenance (snapshot expiry — Iceberg's expire_snapshots; the
+    # reference's analog is the tar2tf cache GC with high/low water
+    # marks, /root/reference/transformers/tar2tf/src/cached.go:88-120)
+    # ------------------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and delete
+        data directories no retained snapshot references. Time travel
+        to expired snapshots stops working; current reads are
+        unaffected (the current manifest carries its files by
+        reference). Returns {snapshots_removed, dirs_removed}."""
+        import shutil
+
+        d = os.path.join(self.path, _COMMITS)
+        snaps = sorted(
+            int(f[1:-5]) for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+        referenced: set[str] = set()
+        for s in keep:
+            for f in self.commit(s)["files"]:
+                # path is "<data>/snapNNN/_bucket=B" → keep the snap dir
+                referenced.add(f["path"].split("/")[1])
+        dirs_removed = 0
+        data_dir = os.path.join(self.path, _DATA)
+        if os.path.isdir(data_dir):
+            for sub in os.listdir(data_dir):
+                if sub not in referenced:
+                    shutil.rmtree(os.path.join(data_dir, sub), ignore_errors=True)
+                    dirs_removed += 1
+        for s in drop:
+            os.remove(self._commit_path(s))
+            self._commit_cache.pop(s, None)
+        return {"snapshots_removed": len(drop), "dirs_removed": dirs_removed}
+
+    # ------------------------------------------------------------------
     # lineage table
     # ------------------------------------------------------------------
 
@@ -475,13 +554,30 @@ class LakeTable:
             for o in (offsets or [{"source_part": -1, "min_offset": -1,
                                    "max_offset": -1, "events": 0}])
         ]
-        df = self.spark.createDataFrame(
-            rows,
-            "batch_id string, snapshot_id bigint, source_part int, "
-            "min_offset bigint, max_offset bigint, events bigint, "
-            "inserts bigint, updates bigint, deletes bigint, stale_noops bigint",
+        # driver-side pyarrow write: lineage is a handful of rows per
+        # commit — a Spark job for it costs seconds of fixed overhead
+        # per batch at high core counts, pyarrow costs ~nothing
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("batch_id", pa.string()),
+                ("snapshot_id", pa.int64()),
+                ("source_part", pa.int32()),
+                ("min_offset", pa.int64()),
+                ("max_offset", pa.int64()),
+                ("events", pa.int64()),
+                ("inserts", pa.int64()),
+                ("updates", pa.int64()),
+                ("deletes", pa.int64()),
+                ("stale_noops", pa.int64()),
+            ]
         )
-        df.coalesce(1).write.mode("append").parquet(os.path.join(self.path, _LINEAGE))
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        d = os.path.join(self.path, _LINEAGE)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
 
     def lineage(self) -> DataFrame:
         p = os.path.join(self.path, _LINEAGE)

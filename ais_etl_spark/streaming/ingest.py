@@ -88,6 +88,12 @@ def apply_cdc_batch(
     """
     from ais_etl_spark.schema_evolution import apply_schema_event
 
+    if not schema_events:
+        # fast path: no DDL fences → no event_id-range pass needed
+        return table.merge(
+            events, batch_id=batch_id, post_dedup_transform=enrich_events
+        )
+
     lo_hi = events.agg(F.min("event_id"), F.max("event_id")).first()
     lo, hi = lo_hi[0], lo_hi[1]
     fences = sorted(
@@ -98,7 +104,9 @@ def apply_cdc_batch(
         for ev in sorted(schema_events or [], key=lambda e: e["fence_event_id"]):
             if hi is not None and ev["fence_event_id"] <= hi:
                 apply_schema_event(table, ev)
-        return table.merge(enrich_events(events), batch_id=batch_id)
+        return table.merge(
+            events, batch_id=batch_id, post_dedup_transform=enrich_events
+        )
 
     lineage: dict = {}
     start = lo
@@ -106,11 +114,15 @@ def apply_cdc_batch(
         sub = events.filter(
             (F.col("event_id") >= start) & (F.col("event_id") < ev["fence_event_id"])
         )
-        lineage = table.merge(enrich_events(sub), batch_id=f"{batch_id}.{i}")
+        lineage = table.merge(
+            sub, batch_id=f"{batch_id}.{i}", post_dedup_transform=enrich_events
+        )
         apply_schema_event(table, ev)
         start = ev["fence_event_id"]
     tail = events.filter(F.col("event_id") >= start)
-    lineage = table.merge(enrich_events(tail), batch_id=f"{batch_id}.tail")
+    lineage = table.merge(
+        tail, batch_id=f"{batch_id}.tail", post_dedup_transform=enrich_events
+    )
     return lineage
 
 

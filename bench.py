@@ -1,0 +1,135 @@
+"""Benchmark harness — ONE JSON line on stdout.
+
+Headline: the north-rule metric — change-events/sec applied from
+binlog-segment read through committed lake snapshot (synthetic
+Common-Crawl CDC events with gzip html payloads, skewed hot urls).
+Feed materialization is NOT timed (it is the upstream system); the
+timed span is read feed → vectorized html→text/lang extraction → LWW
+dedup → bucketed CoW MERGE → atomic snapshot commit.
+
+Also times a set of contract queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1). Scaling evidence (local[8] vs local[32]) lives
+in bench_scaling.py (separate JVMs per parallelism level).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+BENCH_EVENTS (override event count), BENCH_SKIP_QUERIES=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def run_ingest_bench(spark, n_events: int, n_buckets: int = 64) -> dict:
+    from ais_etl_spark.feed import synth_cdc_feed
+    from ais_etl_spark.lake import LakeTable
+    from ais_etl_spark.streaming.ingest import PAGES_SCHEMA, apply_cdc_batch
+
+    tmp = tempfile.mkdtemp(prefix="ais-etl-bench-")
+    try:
+        feed_path = os.path.join(tmp, "feed")
+        # materialize the binlog segment (untimed: upstream's job);
+        # partition count ~ 4x cores so every thread stays busy
+        par = spark.sparkContext.defaultParallelism * 4
+        synth_cdc_feed(
+            spark, n_events=n_events, seed=42, hot_pct=20, num_partitions=par
+        ).write.parquet(feed_path)
+
+        # untimed warmup batch: JIT/codegen compile for every stage of
+        # the pipeline — the reported number is the steady-state
+        # throughput of a long-running ingest, not first-batch compile
+        warm_path = os.path.join(tmp, "warm")
+        synth_cdc_feed(
+            spark, n_events=20_000, seed=7, num_partitions=par
+        ).write.parquet(warm_path)
+        warm_table = LakeTable.create(
+            spark, os.path.join(tmp, "warm_pages"), PAGES_SCHEMA,
+            key="url", order_col="warc_ts", n_buckets=n_buckets,
+        )
+        apply_cdc_batch(warm_table, spark.read.parquet(warm_path), batch_id="w0")
+
+        table = LakeTable.create(
+            spark, os.path.join(tmp, "pages"), PAGES_SCHEMA,
+            key="url", order_col="warc_ts", n_buckets=n_buckets,
+        )
+        events = spark.read.parquet(feed_path)
+        t0 = time.time()
+        lineage = apply_cdc_batch(table, events, batch_id="bench-0")
+        dt = time.time() - t0
+        return {
+            "events": n_events,
+            "ingest_sec": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+            "rows_after": lineage.get("rows_after"),
+            "snapshot_id": lineage.get("snapshot_id"),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERY_NAMES = [
+    "cdc_lww_agg_parity",
+    "cdc_snapshot_by_lang",
+    "cdc_engine_replay",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_orders_per_customer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "txt_quality",
+    "txt_token_counts",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from ais_etl_spark import contract, get_spark
+
+    spark = get_spark(app_name="ais-etl-bench")
+    cores = spark.sparkContext.defaultParallelism
+
+    # events scale with sf: 100k per 0.01 → 1M at sf0.1 design point,
+    # clipped for wall-clock sanity in the per-round driver run
+    n_events = int(os.environ.get("BENCH_EVENTS", 0)) or min(
+        max(int(sf * 3_000_000), 30_000), 600_000
+    )
+    ingest = run_ingest_bench(spark, n_events)
+
+    queries: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        for name in QUERY_NAMES:
+            fn = contract.QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(ingest["ingest_sec"] + sum(queries.values()), 3)
+    out = {
+        "metric": "change-events/sec applied (ingest→committed snapshot)",
+        "value": ingest["events_per_sec"],
+        "unit": "events/sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": cores,
+        "ingest": ingest,
+        "total_sec": total,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

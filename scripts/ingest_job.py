@@ -1,0 +1,104 @@
+"""spark-submit entry point: steady-state CDC ingest throughput at one
+parallelism level. The north rule's run mode —
+
+    spark-submit --master local[N] --py-files dist/ais_etl_spark.zip \
+        scripts/ingest_job.py --events 600000 --out result.json
+
+On a real cluster drop --master local[N] for the cluster master URL;
+nothing else changes (the engine ships to executors as the zip, the
+same way ais-etl cloudpickles transformer classes into its pods —
+/root/reference/runtime/python/bootstrap.py:79-89).
+
+Prints one JSON line: {parallelism, events, ingest_sec, events_per_sec}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=600_000)
+    ap.add_argument("--feed-dir", default=None,
+                    help="pre-materialized feed parquet (same bytes for every run)")
+    ap.add_argument("--warmup-events", type=int, default=20_000)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # spark-submit supplies the master; just attach and apply our conf
+    spark = (
+        SparkSession.builder.appName("ais-etl-ingest-job")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    par = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(par))
+
+    from ais_etl_spark.feed import synth_cdc_feed
+    from ais_etl_spark.lake import LakeTable
+    from ais_etl_spark.streaming.ingest import PAGES_SCHEMA, apply_cdc_batch
+
+    tmp = tempfile.mkdtemp(prefix="ais-etl-scaling-")
+    try:
+        if args.feed_dir:
+            feed_path = args.feed_dir
+        else:
+            feed_path = os.path.join(tmp, "feed")
+            # identical input at every parallelism level: fixed partition
+            # count and seed → identical files, identical bytes
+            synth_cdc_feed(
+                spark, n_events=args.events, seed=42, hot_pct=20, num_partitions=128
+            ).write.parquet(feed_path)
+
+        warm_path = os.path.join(tmp, "warm")
+        synth_cdc_feed(
+            spark, n_events=args.warmup_events, seed=7, num_partitions=128
+        ).write.parquet(warm_path)
+        wt = LakeTable.create(
+            spark, os.path.join(tmp, "warm_pages"), PAGES_SCHEMA,
+            key="url", order_col="warc_ts", n_buckets=args.n_buckets,
+        )
+        apply_cdc_batch(wt, spark.read.parquet(warm_path), batch_id="w0")
+
+        table = LakeTable.create(
+            spark, os.path.join(tmp, "pages"), PAGES_SCHEMA,
+            key="url", order_col="warc_ts", n_buckets=args.n_buckets,
+        )
+        events = spark.read.parquet(feed_path)
+        t0 = time.time()
+        lineage = apply_cdc_batch(table, events, batch_id="b0")
+        dt = time.time() - t0
+        out = {
+            "parallelism": par,
+            "events": args.events,
+            "ingest_sec": round(dt, 3),
+            "events_per_sec": round(args.events / dt, 1),
+            "rows_after": lineage.get("rows_after"),
+        }
+        line = json.dumps(out)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
