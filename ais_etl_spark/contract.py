@@ -325,6 +325,66 @@ def q_cdc_lineage(spark, sf_dir):
 
 
 @_q(
+    "cdc_windowed_counts",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}
+SELECT epoch_ms(date_trunc('hour', warc_ts)) AS window_start_ms,
+       epoch_ms(date_trunc('hour', warc_ts) + INTERVAL 1 HOUR) AS window_end_ms,
+       op,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+FROM cdc GROUP BY 1, 2, 3""",
+)
+def q_cdc_windowed_counts(spark, sf_dir):
+    """Tumbling-window op counts (the streaming metrics aggregation,
+    run in batch mode for the oracle; the watermarked streaming twin is
+    tested in tests/test_stateful.py)."""
+    from ais_etl_spark.streaming.stateful import windowed_event_counts
+
+    feed = cdc_feed_from_events(spark, sf_dir)
+    out = windowed_event_counts(feed.select("url", "warc_ts", "op"))
+    return out.select(
+        _ms("window_start").alias("window_start_ms"),
+        _ms("window_end").alias("window_end_ms"),
+        "op",
+        "n_events",
+        "n_urls",
+    )
+
+
+@_q("cdc_stateful_changelog")  # rows-only: state-store streaming operator
+def q_cdc_stateful_changelog(spark, sf_dir):
+    """applyInPandasWithState LWW changelog over the streamed feed:
+    emits (url, winner) only when the winner changes across batches."""
+    import tempfile
+
+    from ais_etl_spark.streaming.stateful import stateful_lww_stream
+
+    feed = cdc_feed_from_events(spark, sf_dir).select(
+        "event_id", "op", "url", "warc_ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="ais-etl-stateful-contract-")
+    feed_dir = os.path.join(tmp, "feed")
+    feed.coalesce(4).write.parquet(feed_dir)
+    stream = spark.readStream.schema(
+        "event_id long, op string, url string, warc_ts timestamp"
+    ).parquet(feed_dir)
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        stateful_lww_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "url", _ms("warc_ts").alias("warc_ts_ms"), "event_id", "op"
+    )
+
+
+@_q(
     "cdc_asof_lookup",
     f"""WITH {CDC_FEED_ORACLE_CTE.strip()},
 uniq AS (

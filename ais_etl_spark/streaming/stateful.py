@@ -1,0 +1,110 @@
+"""Custom stateful streaming operators.
+
+The merge-based ingest (streaming/ingest.py) keeps long-term LWW state
+in the target table itself — the 10^10-key-safe design. This module is
+the OTHER point in the design space: state-store-resident operators
+for low-latency views where the working key set fits the state store
+(hot-key dashboards, routing tables):
+
+- :func:`stateful_lww_stream` — cross-batch LWW via
+  ``applyInPandasWithState``: per url, the state holds the current
+  winner (warc_ts, event_id, op); each micro-batch emits only keys
+  whose winner CHANGED (a changelog stream). This is the Spark analog
+  of the reference's version-keyed recompute cache
+  (/root/reference/transformers/tar2tf/src/cached.go:50-78) kept as
+  resident state rather than a table.
+- :func:`windowed_event_counts` — watermarked tumbling-window op
+  counts (late events beyond the watermark are dropped by contract —
+  the bounded-lateness leg; unbounded-lateness correctness lives in
+  the merge path).
+
+Scale notes: state is partitioned by the grouping key across
+executors (HDFS/RocksDB-backed state store), so memory scales with
+*keys resident per executor*, not events; the changelog output keeps
+downstream IO proportional to change rate, not key count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+LWW_STATE_SCHEMA = "warc_ts_us long, event_id long, op string"
+LWW_OUT_SCHEMA = (
+    "url string, warc_ts timestamp, event_id long, op string, changed boolean"
+)
+
+
+def _lww_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key reducer: fold this batch's events into the stored
+    winner; emit one row iff the winner changed. Ordering matches the
+    engine's LWW contract: (warc_ts, event_id) lexicographic."""
+    if state.exists:
+        cur_us, cur_eid, cur_op = state.get
+    else:
+        cur_us, cur_eid, cur_op = None, None, None
+    best = (cur_us, cur_eid, cur_op)
+    for pdf in pdfs:
+        for ts, eid, op in zip(pdf["warc_ts"], pdf["event_id"], pdf["op"]):
+            us = int(ts.value // 1000)  # pandas ns → µs
+            cand = (us, int(eid), op)
+            if best[0] is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+    changed = best[0] is not None and (best[0], best[1]) != (cur_us, cur_eid)
+    if changed:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "url": [key[0]],
+                "warc_ts": [pd.Timestamp(best[0], unit="us")],
+                "event_id": [best[1]],
+                "op": [best[2]],
+                "changed": [True],
+            }
+        )
+
+
+def stateful_lww_stream(events: DataFrame) -> DataFrame:
+    """Streaming changelog of per-url LWW winners. ``events`` must be
+    a streaming DataFrame with (url, warc_ts, event_id, op)."""
+    return (
+        events.select("url", "warc_ts", "event_id", "op")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _lww_update,
+            outputStructType=LWW_OUT_SCHEMA,
+            stateStructType=LWW_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window op counts — the streaming metrics
+    feed. Late events beyond ``watermark_delay`` are dropped (bounded
+    lateness; document + test, per SURVEY §2.3 late-data row)."""
+    return (
+        events.withWatermark("warc_ts", watermark_delay)
+        .groupBy(F.window("warc_ts", window_duration).alias("win"), F.col("op"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("url").alias("n_urls"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "op",
+            "n_events",
+            "n_urls",
+        )
+    )

@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--warmup-events", type=int, default=20_000)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--curate", action="store_true",
+                    help="full curation enrichment per winner (extract + lang\n"
+                         "+ simhash + fingerprint + quality) — the\n"
+                         "representative per-record work of CC-scale ingest")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,14 +53,34 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(par))
 
+    def size_input_splits(path: str) -> None:
+        """Right-size parquet input splits to the core count. The
+        default 128 MB maxPartitionBytes packs a small compressed feed
+        into a handful of splits, silently capping the whole map side
+        (scan + partial agg + UDFs) at ~6 tasks REGARDLESS of cores —
+        measured 3× throughput loss at 32 cores. At real scale files
+        are split-sized already; here we mirror what a cluster gets."""
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        target = max(total // (par * 3), 1 * 1024 * 1024)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
+
     from ais_etl_spark.feed import synth_cdc_feed
     from ais_etl_spark.lake import LakeTable
-    from ais_etl_spark.streaming.ingest import PAGES_SCHEMA, apply_cdc_batch
+    from ais_etl_spark.streaming.ingest import PAGES_SCHEMA, apply_cdc_batch, enrich_events
+    from ais_etl_spark.transforms.curate import CURATED_PAGES_SCHEMA, curate_events
+
+    schema = CURATED_PAGES_SCHEMA if args.curate else PAGES_SCHEMA
+    transform = curate_events if args.curate else enrich_events
 
     tmp = tempfile.mkdtemp(prefix="ais-etl-scaling-")
     try:
         if args.feed_dir:
             feed_path = args.feed_dir
+            size_input_splits(feed_path)
         else:
             feed_path = os.path.join(tmp, "feed")
             # identical input at every parallelism level: fixed partition
@@ -64,24 +88,27 @@ def main() -> None:
             synth_cdc_feed(
                 spark, n_events=args.events, seed=42, hot_pct=20, num_partitions=128
             ).write.parquet(feed_path)
+            size_input_splits(feed_path)
 
         warm_path = os.path.join(tmp, "warm")
         synth_cdc_feed(
             spark, n_events=args.warmup_events, seed=7, num_partitions=128
         ).write.parquet(warm_path)
         wt = LakeTable.create(
-            spark, os.path.join(tmp, "warm_pages"), PAGES_SCHEMA,
+            spark, os.path.join(tmp, "warm_pages"), schema,
             key="url", order_col="warc_ts", n_buckets=args.n_buckets,
         )
-        apply_cdc_batch(wt, spark.read.parquet(warm_path), batch_id="w0")
+        wt.merge(spark.read.parquet(warm_path), batch_id="w0",
+                 post_dedup_transform=transform)
 
         table = LakeTable.create(
-            spark, os.path.join(tmp, "pages"), PAGES_SCHEMA,
+            spark, os.path.join(tmp, "pages"), schema,
             key="url", order_col="warc_ts", n_buckets=args.n_buckets,
         )
         events = spark.read.parquet(feed_path)
         t0 = time.time()
-        lineage = apply_cdc_batch(table, events, batch_id="b0")
+        lineage = table.merge(events, batch_id="b0",
+                              post_dedup_transform=transform)
         dt = time.time() - t0
         out = {
             "parallelism": par,

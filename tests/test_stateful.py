@@ -1,0 +1,110 @@
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ais_etl_spark.streaming.stateful import (
+    stateful_lww_stream,
+    windowed_event_counts,
+)
+
+FEED = "event_id long, op string, url string, warc_ts timestamp"
+
+
+def _write_chunks(spark, d, chunks, start=0):
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(chunks, start=start):
+        spark.createDataFrame(rows, FEED).coalesce(1).write.parquet(
+            os.path.join(d, f"c{i}.parquet")
+        )
+
+
+def _run_stream(spark, feed_dir, ckpt, builder, out_dir):
+    stream = spark.readStream.schema(FEED).parquet(os.path.join(feed_dir, "*"))
+    out = builder(stream)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_stateful_lww_changelog(spark, tmpdir_path):
+    feed = os.path.join(tmpdir_path, "feed")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    _write_chunks(
+        spark,
+        feed,
+        [
+            [
+                (1, "I", "a", ts("2026-01-01 00:00:00")),
+                (2, "U", "a", ts("2026-01-01 02:00:00")),
+                (3, "I", "b", ts("2026-01-01 01:00:00")),
+            ],
+        ],
+    )
+    out_dir = os.path.join(tmpdir_path, "out")
+    rows = _run_stream(spark, feed, ckpt, stateful_lww_stream, out_dir).collect()
+    got = {r["url"]: (r["event_id"], r["op"]) for r in rows}
+    assert got == {"a": (2, "U"), "b": (3, "I")}
+
+    # batch 2: stale event for a (no emit), newer delete for b (emit)
+    _write_chunks(
+        spark,
+        feed,
+        [
+            [
+                (4, "U", "a", ts("2026-01-01 01:00:00")),  # older than current → no-op
+                (5, "D", "b", ts("2026-01-01 03:00:00")),
+            ]
+        ],
+        start=1,
+    )
+    # second availableNow run resumes from checkpoint state; the file
+    # sink accumulates, so new rows = rows2 - batch-1 rows
+    rows2 = _run_stream(spark, feed, ckpt, stateful_lww_stream, out_dir).collect()
+    emitted = {r["url"]: (r["event_id"], r["op"]) for r in rows2 if r["event_id"] in (4, 5)}
+    assert emitted == {"b": (5, "D")}  # stale 'a' update suppressed
+    assert len(rows2) == 3  # 2 from batch 1 + 1 changed winner
+
+
+def test_windowed_event_counts(spark, tmpdir_path):
+    feed = os.path.join(tmpdir_path, "feed")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    _write_chunks(
+        spark,
+        feed,
+        [
+            [
+                (1, "I", "a", ts("2026-01-01 00:10:00")),
+                (2, "I", "b", ts("2026-01-01 00:20:00")),
+                (3, "U", "a", ts("2026-01-01 01:10:00")),
+            ],
+        ],
+    )
+
+    def build(stream):
+        return windowed_event_counts(stream, "1 hour", "2 hours")
+
+    # append-mode windowed aggs only emit FINALIZED windows (watermark
+    # passed); with availableNow + one batch nothing finalizes, so run
+    # with complete mode via a direct batch check instead:
+    df = spark.read.schema(FEED).parquet(os.path.join(feed, "*"))
+    got = {
+        (r["window_start"], r["op"]): (r["n_events"], r["n_urls"])
+        for r in windowed_event_counts(df).collect()
+    }
+    assert got[(ts("2026-01-01 00:00:00"), "I")] == (2, 2)
+    assert got[(ts("2026-01-01 01:00:00"), "U")] == (1, 1)
