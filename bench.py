@@ -41,6 +41,19 @@ def run_ingest_bench(spark, n_events: int, n_buckets: int = 64) -> dict:
         synth_cdc_feed(
             spark, n_events=n_events, seed=42, hot_pct=20, num_partitions=par
         ).write.parquet(feed_path)
+        # size input splits to cores: the 128MB default packs a small
+        # compressed feed into a handful of splits, capping the map
+        # side regardless of parallelism (see BENCH.md methodology)
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(feed_path) for f in fs
+        )
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(total // (cores * 3), 1024 * 1024)),
+        )
+        spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
 
         # untimed warmup batch: JIT/codegen compile for every stage of
         # the pipeline — the reported number is the steady-state
