@@ -274,6 +274,72 @@ def q_cdc_stream_ingest(spark, sf_dir):
     )
 
 
+_CURATE_TOK = "regexp_extract_all(lower(w.text), '[a-z0-9]+')"
+# \S+ runs == python str.split() tokens (fingerprint normalization)
+_CURATE_WS = "regexp_extract_all(lower(w.text), '" + "\\S+" + "')"
+_CURATE_HEX = " + ".join(
+    f"(strpos('0123456789abcdef', substr(substr(md5(t), 1, 8), {c}, 1)) - 1)"
+    f" * power(16, {8 - c})"
+    for c in range(1, 9)
+)
+
+_CURATED_REPLAY_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN},
+w AS (SELECT url, warc_ts, text, lang FROM win WHERE rn = 1 AND op <> 'D'),
+tok AS (SELECT url, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM w),
+votes AS (
+  SELECT url, b,
+         CAST(sum(CASE WHEN CAST(floor(CAST({_CURATE_HEX.replace('w.text', 'text')} AS BIGINT)
+                            / power(2, b)) AS BIGINT) % 2 = 1
+                       THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) tb
+  GROUP BY url, b
+),
+sim AS (
+  SELECT url, CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY url
+)
+SELECT w.url, epoch_ms(w.warc_ts) AS warc_ts_ms, w.text, w.lang,
+  sim.simhash,
+  CAST(len({_CURATE_TOK}) AS INT) AS n_tokens,
+  md5(array_to_string({_CURATE_WS}, ' ')) AS fingerprint,
+  (len({_CURATE_TOK}) >= 10
+   AND list_sum(list_transform({_CURATE_TOK}, x -> length(x)))
+       / greatest(len({_CURATE_TOK}), 1) >= 2.0
+   AND list_sum(list_transform({_CURATE_TOK}, x -> length(x)))
+       / greatest(len({_CURATE_TOK}), 1) <= 12.0
+   AND (length(w.text) - length(regexp_replace(w.text, '[.,;:!?]', '', 'g')))
+       / greatest(length(w.text), 1) <= 0.2) AS quality_keep
+FROM w JOIN sim ON w.url = sim.url"""
+
+
+@_q("cdc_curated_replay", _CURATED_REPLAY_ORACLE)
+def q_cdc_curated_replay(spark, sf_dir):
+    """FULL-PIPELINE ENGINE CHECK: gzip-html events merged into a
+    curated lake table (one Arrow pass computes text, lang, simhash,
+    token count, fingerprint, quality per winner) — the final committed
+    state must match an ANSI-SQL replay that recomputes every curation
+    statistic from scratch."""
+    from ais_etl_spark.transforms.curate import CURATED_PAGES_SCHEMA, curate_events
+
+    feed = _feed_with_html(spark, sf_dir)
+    lo, hi = feed.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="ais-etl-curated-contract-")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "pages"), CURATED_PAGES_SCHEMA, key="url",
+        order_col="warc_ts", n_buckets=16,
+    )
+    table.merge(feed.filter(F.col("event_id") <= mid), "cu-0",
+                post_dedup_transform=curate_events)
+    table.merge(feed.filter(F.col("event_id") > mid), "cu-1",
+                post_dedup_transform=curate_events)
+    return table.read().select(
+        "url", _ms("warc_ts").alias("warc_ts_ms"), "text", "lang",
+        "simhash", "n_tokens", "fingerprint", "quality_keep",
+    )
+
+
 @_q("cdc_schema_evolution")  # rows-only: DDL replay is not ANSI-SQL-expressible
 def q_cdc_schema_evolution(spark, sf_dir):
     """Schema-evolution replay: merge → fenced add_column →
@@ -687,6 +753,60 @@ def q_tf_spec_pipeline(spark, sf_dir):
         {"op": "select", "cols": ["doc_id", "origin", "digest", "n_words"]},
     ]
     return compile_pipeline(d, spec)
+
+
+@_q(
+    "tf_slice_args",
+    """SELECT doc_id,
+       substr(text, CAST(doc_id % 5 + 1 AS INT), 20) AS snippet,
+       CAST(doc_id % 5 + 1 AS INT) AS from_pos
+FROM documents""",
+)
+def q_tf_slice_args(spark, sf_dir):
+    """audio_splitter analog (NeMo/.../audio_splitter/fastapi_server.py:
+    65-119): per-record range extraction with args supplied per row
+    (manifest-join pattern) — here a deterministic (from, len) slice
+    of the text payload."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("substring(text, CAST(doc_id % 5 + 1 AS INT), 20)").alias("snippet"),
+        (F.col("doc_id") % 5 + 1).cast("int").alias("from_pos"),
+    )
+
+
+@_q("tf_format_convert")  # rows-only: JSON text formatting differs per engine
+def q_tf_format_convert(spark, sf_dir):
+    """parquet-parser analog (transformers/parquet-parser/src/
+    parser.go:60-131): columnar → record-format conversion with
+    dynamically extracted schema (parquet → JSONL here)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct(*[F.col(c) for c in d.columns])).alias("jsonl"),
+    )
+
+
+@_q("tf_archive_pipeline")  # rows-only: binary tar assembly (pandas UDFs)
+def q_tf_archive_pipeline(spark, sf_dir):
+    """audio_manager fan-out/fan-in (NeMo/.../audio_manager/
+    fastapi_server.py:140-210): manifest groups documents → member-wise
+    payloads → one deterministic tar per group; then the face_detection
+    member-wise map shape (explode_tar) re-derives member rows."""
+    from ais_etl_spark.operators.archive import assemble_tar, explode_tar
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 20).cast("string").alias("group_id"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "member_name"
+        ),
+        F.encode("text", "utf-8").alias("member_bytes"),
+    )
+    archives = assemble_tar(d)
+    members = explode_tar(
+        archives.select(F.col("group_id").alias("archive_id"), F.col("tar").alias("payload"))
+    )
+    return members.select("archive_id", "member_name", "member_size")
 
 
 # ===========================================================================
