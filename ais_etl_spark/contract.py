@@ -105,13 +105,15 @@ SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, event_id, lang, text
 FROM win WHERE rn = 1 AND op <> 'D'""",
 )
 def q_cdc_lww_snapshot(spark, sf_dir):
-    """Batch LWW dedup (window formulation) + tombstone filter — the
-    declarative spec of the engine's merge semantics."""
-    from ais_etl_spark.operators.lww import lww_window
+    """Batch LWW dedup + tombstone filter — the declarative spec of the
+    engine's merge semantics. Runs the struct-max HASH-AGGREGATE
+    formulation (map-side combine absorbs hot-url skew); the sort-based
+    window twin lives in cdc_lww_agg_parity as a semantic cross-check."""
+    from ais_etl_spark.operators.lww import lww_latest
 
     feed = cdc_feed_from_events(spark, sf_dir)
     return (
-        lww_window(feed, key="url", order_cols=("warc_ts", "event_id"))
+        lww_latest(feed, key="url", order_cols=("warc_ts", "event_id"))
         .filter(F.col("op") != "D")
         .select(
             "url",
@@ -130,13 +132,15 @@ SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, event_id, lang, text
 FROM win WHERE rn = 1 AND op <> 'D'""",
 )
 def q_cdc_lww_agg_parity(spark, sf_dir):
-    """Same result via the scale formulation: struct-max hash aggregate
-    (map-side combine absorbs hot-key skew — SURVEY §2 lww notes)."""
-    from ais_etl_spark.operators.lww import lww_latest
+    """Same result via the textbook row_number()-over-sort formulation —
+    kept ONLY as the parity cross-check of lww_latest (it is a full
+    sort shuffle: the hot key lands on one reducer, so the flagship
+    path never runs it)."""
+    from ais_etl_spark.operators.lww import lww_window
 
     feed = cdc_feed_from_events(spark, sf_dir)
     return (
-        lww_latest(feed, key="url", order_cols=("warc_ts", "event_id"))
+        lww_window(feed, key="url", order_cols=("warc_ts", "event_id"))
         .filter(F.col("op") != "D")
         .select(
             "url",
@@ -896,11 +900,40 @@ def q_txt_fingerprint(spark, sf_dir):
     return T.fingerprint_md5(_t(spark, sf_dir, "documents"))
 
 
-@_q("txt_winnow_fingerprint")  # rows-only: stateful rolling window (pandas UDF)
+# winnowing k=5 window=4: k-gram rolling md5 hashes, min per sliding
+# window, sorted distinct hex set — joined to one scalar (the driver's
+# canonicalizer cannot hash list cells).
+_WINNOW_KGRAM_H8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(substr(md5(substr(s, i, 5)), 1, 8), {c}, 1))"
+    f" - 1) * power(16, {8 - c})"
+    for c in range(1, 9)
+)
+
+_WINNOW_ORACLE = f"""WITH n AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    CASE WHEN length(s) >= 5 THEN
+      list_transform(generate_series(1, length(s) - 4),
+        i -> CAST({_WINNOW_KGRAM_H8} AS BIGINT))
+    ELSE [] END AS hashes
+  FROM n
+)
+SELECT doc_id,
+  array_to_string(list_sort(list_distinct(list_transform(
+      generate_series(1, greatest(len(hashes) - 3, 1)),
+      i -> printf('%08x', list_min(hashes[i:i+3]))))), ',') AS winnow_fp
+FROM h"""
+
+
+@_q("txt_winnow_fingerprint", _WINNOW_ORACLE)
 def q_txt_winnow_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     udf = T.winnow_fingerprint_udf(k=5, window=4)
-    return d.select("doc_id", udf("text").alias("winnow_fp"))
+    return d.select(
+        "doc_id", F.concat_ws(",", udf("text")).alias("winnow_fp")
+    )
 
 
 # ===========================================================================
@@ -1073,10 +1106,37 @@ def q_sim_lsh_topk(spark, sf_dir):
 # ===========================================================================
 
 
-@_q("mm_features")  # rows-only: fake-decode path (codec libs not installed)
+def _mm_byte_expr(j: int) -> str:
+    """SQL: byte ``j`` of md5(lower(hex(payload))) — the fake decoder's
+    digest, recomputable where md5 accepts only text."""
+    h2 = (
+        f"substr(md5(lower(hex('\\xFF\\xD8\\xFF'::BLOB || encode(text)))),"
+        f" {2 * j + 1}, 2)"
+    )
+    return ("(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h2}, {c}, 1)) - 1) * power(16, {2 - c})"
+        for c in (1, 2)
+    ) + ")")
+
+
+_MM_ORACLE = (
+    "SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, 'image' AS media_type, "
+    + ", ".join(
+        f"CAST(CAST((CAST({_mm_byte_expr(i % 16)} AS BIGINT) * 17 + {i}) % 256"
+        f" AS DOUBLE) / 255.0 AS REAL) AS f{i}"
+        for i in range(8)
+    )
+    + " FROM documents"
+)
+
+
+@_q("mm_features", _MM_ORACLE)
 def q_mm_features(spark, sf_dir):
     """Binary media plumbing over synthetic payloads derived from
-    documents (deterministic), through iterator-form mapInPandas."""
+    documents (deterministic), through iterator-form mapInPandas.
+    The feature vector is unpacked to scalar float columns so the
+    driver canonicalizer can hash it; the oracle recomputes the fake
+    decoder (md5-of-hex digest bytes) in pure SQL."""
     from ais_etl_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents").select(
@@ -1090,7 +1150,12 @@ def q_mm_features(spark, sf_dir):
         F.lit(64).alias("meta_height"),
         F.lit(None).cast("int").alias("meta_duration_ms"),
     )
-    return extract_features(d, dim=8)
+    out = extract_features(d, dim=8)
+    return out.select(
+        "media_id",
+        "media_type",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(8)],
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

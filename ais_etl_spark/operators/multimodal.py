@@ -87,10 +87,14 @@ def _decode_image_real(payload: bytes):  # pragma: no cover - lib absent
 def _fake_image_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic fake 'decoder': features derived from payload
     bytes only — stable across runs/executors, so the Spark plumbing
-    (batching, schema, ordering) is testable without codec libs."""
+    (batching, schema, ordering) is testable without codec libs.
+
+    Hashes the lowercase-hex rendering of the payload (not the raw
+    bytes) so the correctness oracle can recompute the same value in
+    ANSI SQL, where md5 accepts only text (md5(lower(hex(blob))))."""
     import hashlib
 
-    h = hashlib.md5(bytes(payload)).digest()
+    h = hashlib.md5(bytes(payload).hex().encode()).digest()
     return [((h[i % 16] * 17 + i) % 256) / 255.0 for i in range(dim)]
 
 
