@@ -735,14 +735,25 @@ def q_tf_regex_route(spark, sf_dir):
 @_q("tf_xxhash")  # rows-only: DuckDB lacks Spark-compatible xxhash64
 def q_tf_xxhash(spark, sf_dir):
     """hash_with_args (hash_with_args/fastapi_server.py:56-86): seeded
-    xxhash64, seed 42 = Spark built-in fast path."""
+    xxhash64 — seed 42 runs Spark's JVM built-in, seed 7 runs the
+    pure-Python XXH64 fallback (both algorithm-verified against each
+    other at seed 42 in tests/test_transforms.py)."""
     from ais_etl_spark.transforms.builtin import xxhash_seeded_udf
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", xxhash_seeded_udf(42)(F.col("text")).alias("xxh"))
+    return d.select(
+        "doc_id",
+        xxhash_seeded_udf(42)(F.col("text")).alias("xxh"),
+        xxhash_seeded_udf(7)(F.col("text")).alias("xxh_seed7"),
+    )
 
 
-@_q("tf_spec_pipeline")  # rows-only: spec-compiled DataFrame pipeline
+@_q(
+    "tf_spec_pipeline",
+    """SELECT doc_id, source AS origin, md5(text) AS digest,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words
+FROM documents WHERE n_chars > 100""",
+)
 def q_tf_spec_pipeline(spark, sf_dir):
     """tar2tf-style spec-compiled pipeline (tar2tf/src/main.go:32-47):
     ordered conversions + selection compiled to a DataFrame chain."""
@@ -779,7 +790,17 @@ def q_tf_slice_args(spark, sf_dir):
     )
 
 
-@_q("tf_format_convert")  # rows-only: JSON text formatting differs per engine
+@_q(
+    "tf_format_convert",
+    # Engine caveat: Spark's to_json OMITS null fields while the oracle
+    # emits "key":null — portable here because documents has no nulls
+    # (and the operator's own null policy is unit-tested).
+    """SELECT doc_id,
+       CAST(to_json(struct_pack(doc_id := doc_id, text := text,
+                                lang := lang, source := source,
+                                n_chars := n_chars)) AS VARCHAR) AS jsonl
+FROM documents""",
+)
 def q_tf_format_convert(spark, sf_dir):
     """parquet-parser analog (transformers/parquet-parser/src/
     parser.go:60-131): columnar → record-format conversion with
@@ -791,7 +812,15 @@ def q_tf_format_convert(spark, sf_dir):
     )
 
 
-@_q("tf_archive_pipeline")  # rows-only: binary tar assembly (pandas UDFs)
+@_q(
+    "tf_archive_pipeline",
+    # The tar round-trip must re-derive exactly the members that went
+    # in: names from doc_id, sizes = utf-8 byte length of text.
+    """SELECT CAST(doc_id % 20 AS VARCHAR) AS archive_id,
+       'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS member_name,
+       CAST(octet_length(encode(text)) AS BIGINT) AS member_size
+FROM documents""",
+)
 def q_tf_archive_pipeline(spark, sf_dir):
     """audio_manager fan-out/fan-in (NeMo/.../audio_manager/
     fastapi_server.py:140-210): manifest groups documents → member-wise

@@ -94,28 +94,100 @@ bz2_compress_udf = _codec_udf("compress", "bz2")
 bz2_decompress_udf = _codec_udf("decompress", "bz2")
 
 
+# --- pure-Python xxHash64 (XXH64) -----------------------------------------
+# Spec: https://github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md
+# Verified bit-identical to Spark's JVM XxHash64 at seed 42 in
+# tests/test_transforms.py (same algorithm, arbitrary seed).
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _as_bytes(b) -> bytes:
+    """String columns hash their UTF-8 bytes (Spark semantics)."""
+    return b.encode("utf-8") if isinstance(b, str) else bytes(b)
+
+
+def _xx_round(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+
+
+def xxhash64_py(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` with an arbitrary ``seed`` — unsigned 64-bit."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            v1 = _xx_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xx_round(0, v)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _xx_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = ((_rotl64(h ^ k, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _M64
+        h = ((_rotl64(h, 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
 def xxhash_seeded_udf(seed: int):
     """Parameterized xxhash64 (hash_with_args seed resolution,
-    hash_with_args/fastapi_server.py:44-86). Spark's F.xxhash64 pins
-    seed=42; arbitrary seeds need the xxhash lib — gated import, with
-    the built-in as the seed-42 fast path."""
+    hash_with_args/fastapi_server.py:44-86): seed 42 = Spark's JVM
+    built-in (whole-stage codegen); any other seed = an Arrow-batched
+    pandas UDF over :func:`xxhash64_py` (the C ``xxhash`` package is
+    used instead when importable). Output: 16-char lowercase hex."""
     if seed == 42:
-        return lambda col: F.lower(F.hex(F.xxhash64(col)))
+        # F.hex strips leading zeros — lpad to the fixed 16-char digest
+        return lambda col: F.lpad(F.lower(F.hex(F.xxhash64(col))), 16, "0")
     try:
         import xxhash  # noqa: F401
-    except ImportError as e:  # pragma: no cover - lib absent in sandbox
-        raise NotImplementedError(
-            "arbitrary-seed xxhash64 needs the 'xxhash' package; "
-            "seed=42 uses Spark's built-in F.xxhash64"
-        ) from e
+
+        def one(b):  # pragma: no cover - lib absent in sandbox
+            import xxhash
+
+            if b is None:
+                return None
+            return xxhash.xxh64(_as_bytes(b), seed=seed).hexdigest()
+    except ImportError:
+
+        def one(b):
+            return None if b is None else f"{xxhash64_py(_as_bytes(b), seed):016x}"
 
     @pandas_udf(StringType())
     def hasher(data: pd.Series) -> pd.Series:
-        import xxhash
-
-        return data.map(
-            lambda b: None if b is None else xxhash.xxh64(bytes(b), seed=seed).hexdigest()
-        )
+        return data.map(one)
 
     return lambda col: hasher(col)
 

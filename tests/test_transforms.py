@@ -93,6 +93,33 @@ def test_spec_pipeline_compiles_in_order(pages):
     assert {r.url for r in rows} == {"https://a/x", "https://b/y"}  # 'zeta' filtered
 
 
+def test_xxhash64_py_matches_spark_builtin(spark):
+    """Algorithm check: the pure-Python XXH64 must be bit-identical to
+    Spark's JVM XxHash64 at seed 42 for every tail-length code path
+    (0/1/3/4/7/8/31/32/100 bytes)."""
+    from ais_etl_spark.transforms.builtin import xxhash64_py
+
+    payloads = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh",
+                "x" * 31, "y" * 32, "The quick brown fox! " * 5]
+    df = spark.createDataFrame([(p,) for p in payloads], "s string")
+    got = {r.s: r.h for r in
+           df.select("s", F.lower(F.lpad(F.hex(F.xxhash64("s")), 16, "0")).alias("h")).collect()}
+    for p in payloads:
+        assert got[p] == f"{xxhash64_py(p.encode(), 42):016x}", p
+
+
+def test_xxhash_arbitrary_seed(pages):
+    """Seeds ≠ 42 run the fallback UDF; recompute locally as oracle."""
+    from ais_etl_spark.transforms.builtin import xxhash64_py
+
+    out = apply_transform(pages, "xxhash", src="html", dst="xxh", seed=7).collect()
+    for r in out:
+        assert r.xxh == f"{xxhash64_py(bytes(r.html), 7):016x}"
+    # seed must actually change the digest
+    out42 = apply_transform(pages, "xxhash", src="html", dst="xxh", seed=42).collect()
+    assert all(a.xxh != b.xxh for a, b in zip(out, out42))
+
+
 def test_hello_world_and_echo(pages):
     assert apply_transform(pages, "echo").columns == pages.columns
     out = apply_transform(pages, "hello_world").select("greeting").distinct().collect()
