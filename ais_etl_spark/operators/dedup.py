@@ -323,20 +323,63 @@ def simhash_udf():
 
 
 def simhash_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocked: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over 32-bit signatures.
 
-    Test-scale all-pairs; the scale path blocks on signature bytes
-    (4 rotations × 1-byte block key ⇒ any pair within Hamming 3 shares
-    a block) before the distance check — noted, not needed at sf0.1.
+    ``blocked=True`` (the default and the 100 TB path) is the exact
+    pigeonhole scheme: split the signature into ``max_hamming + 1``
+    equal bit blocks — a pair within Hamming ``max_hamming`` differs in
+    at most ``max_hamming`` blocks, so it MUST agree exactly on at
+    least one block. Candidates come from a shuffle equi-join on
+    (block_idx, block_value); the final bit_count filter makes the
+    result identical to all-pairs (lossless blocking — parity-tested).
+
+    ``blocked=False`` keeps the O(n²) crossJoin form for the parity
+    test only.
     """
     a = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
     b = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    if blocked:
+        nblocks = max_hamming + 1
+        # uneven coverage is safe: bits outside any block only make the
+        # candidate set a superset (blocks can't see them disagree), and
+        # the final exact bit_count filter removes false candidates.
+        bits = max(32 // nblocks, 1)
+        mask = (1 << bits) - 1
+
+        def blocks(df: DataFrame, idc: str, sigc: str) -> DataFrame:
+            blk = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("blk"),
+                            F.shiftright(F.col(sigc), i * bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("blk_val"),
+                        )
+                        for i in range(nblocks)
+                    ]
+                )
+            ).alias("b")
+            return df.select(F.col(idc), F.col(sigc), blk).select(
+                idc, sigc, "b.blk", "b.blk_val"
+            )
+
+        cand = (
+            blocks(a, "doc_a", "ha")
+            .join(blocks(b, "doc_b", "hb"), ["blk", "blk_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "ha", "doc_b", "hb")
+            .distinct()
+        )
+    else:
+        cand = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -352,13 +395,20 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic near-dups: pairs with cosine ≥ threshold.
 
     Dot/norm via fold-left ``F.aggregate`` in array order — fully
     deterministic double arithmetic (matches the SQL oracle after
-    rounding). All-pairs here = the verify stage; candidate generation
-    at scale is operators/similarity.py's LSH/IVF bucketing.
+    rounding).
+
+    ``candidates`` (a (doc_a, doc_b) DataFrame, e.g. from
+    ``similarity.lsh_candidate_pairs``) restricts the cosine check to
+    candidate pairs via two equi-joins back to the vectors — the
+    100 TB path (this function is then the *verify* stage). Without it
+    the check is an O(n²) crossJoin — test scale / tiny-partition
+    verify only.
     """
     from ais_etl_spark.operators.similarity import cosine_expr
 
@@ -367,10 +417,12 @@ def embedding_cosine_pairs(
     )
     a = v.select(F.col(id_col).alias("doc_a"), F.col("v").alias("va"))
     b = v.select(F.col(id_col).alias("doc_b"), F.col("v").alias("vb"))
+    if candidates is not None:
+        pairs = candidates.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )

@@ -91,6 +91,47 @@ def test_simhash_pairs(spark, docs):
     assert (0, 2) in pairs  # near-dup within hamming 8
 
 
+def test_simhash_pairs_blocked_parity(spark, docs):
+    """Pigeonhole blocking must be lossless: blocked == all-pairs."""
+    sigs = docs.select("doc_id", D.simhash_udf()("text").alias("simhash"))
+    for mh in (3, 8):
+        blocked = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+                   D.simhash_pairs(sigs, max_hamming=mh, blocked=True).collect()}
+        allp = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+                D.simhash_pairs(sigs, max_hamming=mh, blocked=False).collect()}
+        assert blocked == allp, mh
+
+
+def _det_vecs(spark, n=24, dim=8):
+    rows = []
+    for i in range(n):
+        h = hashlib.md5(f"v{i}".encode()).digest()
+        rows.append((i, [(h[d % 16] - 128) / 128.0 for d in range(dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_cosine_candidates_parity(spark):
+    """candidates=all-pairs must reproduce the crossJoin form exactly;
+    LSH candidates must yield exactly exact ∩ candidate-pairs."""
+    from ais_etl_spark.operators.similarity import lsh_candidate_pairs
+
+    vecs = _det_vecs(spark)
+    exact = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in
+             D.embedding_cosine_pairs(vecs, threshold=0.2).collect()}
+    ids = [r["vec_id"] for r in vecs.select("vec_id").collect()]
+    allpairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "doc_a long, doc_b long"
+    )
+    via_all = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in
+               D.embedding_cosine_pairs(vecs, threshold=0.2, candidates=allpairs).collect()}
+    assert via_all == exact
+    cand = lsh_candidate_pairs(vecs, dim=8, nbits=2)
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    via_lsh = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in
+               D.embedding_cosine_pairs(vecs, threshold=0.2, candidates=cand).collect()}
+    assert via_lsh == {p: c for p, c in exact.items() if p in cand_set}
+
+
 def test_embedding_cosine_pairs(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.01, 0.0]), (2, [0.0, 1.0, 0.0])],
