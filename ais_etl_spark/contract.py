@@ -790,26 +790,102 @@ def q_tf_slice_args(spark, sf_dir):
     )
 
 
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _csv_field_sql(c: str) -> str:
+    v = f"CAST({c} AS VARCHAR)"
+    return (
+        f"CASE WHEN regexp_matches({v}, '[\",\\n\\r]') THEN "
+        f"'\"' || regexp_replace({v}, '\"', '\"\"', 'g') || '\"' ELSE {v} END"
+    )
+
+
+_CSV_ROW_SQL = " || ',' || ".join(_csv_field_sql(c) for c in _DOC_COLS)
+_TXT_ROW_SQL = " || chr(9) || ".join(f"CAST({c} AS VARCHAR)" for c in _DOC_COLS)
+
+
 @_q(
     "tf_format_convert",
     # Engine caveat: Spark's to_json OMITS null fields while the oracle
     # emits "key":null — portable here because documents has no nulls
     # (and the operator's own null policy is unit-tested).
-    """SELECT doc_id,
+    f"""SELECT doc_id,
        CAST(to_json(struct_pack(doc_id := doc_id, text := text,
                                 lang := lang, source := source,
-                                n_chars := n_chars)) AS VARCHAR) AS jsonl
+                                n_chars := n_chars)) AS VARCHAR) AS jsonl,
+       {_CSV_ROW_SQL} AS csv_row,
+       {_TXT_ROW_SQL} AS txt_row
 FROM documents""",
 )
 def q_tf_format_convert(spark, sf_dir):
     """parquet-parser analog (transformers/parquet-parser/src/
-    parser.go:60-131): columnar → record-format conversion with
-    dynamically extracted schema (parquet → JSONL here)."""
+    parser.go:60-131,147-212): columnar → record-format conversion
+    with dynamically extracted schema — all three output legs (JSONL,
+    RFC-4180 CSV, tab-separated TXT), each a pure built-in
+    projection."""
+    from ais_etl_spark.transforms.convert import record_col
+
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.to_json(F.struct(*[F.col(c) for c in d.columns])).alias("jsonl"),
+        record_col(d, "jsonl", _DOC_COLS).alias("jsonl"),
+        record_col(d, "csv", _DOC_COLS).alias("csv_row"),
+        record_col(d, "txt", _DOC_COLS).alias("txt_row"),
     )
+
+
+@_q(
+    "tf_format_document",
+    f"""WITH r AS (
+  SELECT CAST(doc_id % 10 AS VARCHAR) AS object_id, doc_id,
+         {_CSV_ROW_SQL} AS rec
+  FROM documents
+)
+SELECT object_id,
+       'doc_id,text,lang,source,n_chars' || chr(10)
+         || string_agg(rec, chr(10) ORDER BY doc_id) || chr(10) AS doc,
+       CAST(count(*) AS INT) AS n_rows
+FROM r GROUP BY object_id""",
+)
+def q_tf_format_document(spark, sf_dir):
+    """parquet-parser's ordered chunk merge (parser.go:84-130,214-256):
+    one CSV document per output object, header prepended once, rows
+    concatenated strictly in doc_id order regardless of task
+    parallelism — the fan-in runs as groupBy().applyInPandas."""
+    from ais_etl_spark.transforms.convert import assemble_documents
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "grp", (F.col("doc_id") % 10).cast("string")
+    )
+    return assemble_documents(
+        d, "csv", group_col="grp", order_col="doc_id", cols=_DOC_COLS
+    )
+
+
+@_q(
+    "tf_batch_rename_sink",
+    """SELECT 'routed/' || source AS dst_key, md5(text) AS digest
+FROM documents WHERE regexp_matches(source, '^src1[0-9]$')""",
+)
+def q_tf_batch_rename_sink(spark, sf_dir):
+    """batch_rename's SECOND sink (copy-not-move,
+    batch_rename/fastapi_server.py:44-61): matching rows are written
+    to a routed parquet sink; this query reads that sink back — the
+    oracle recomputes what the sink must contain. The pass-through leg
+    is tf_regex_route; byte-idempotence is tested in
+    tests/test_transforms.py."""
+    from ais_etl_spark.transforms.builtin import batch_rename_write
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="ais-etl-rename-contract-")
+    dst = os.path.join(tmp, "sink")
+    batch_rename_write(
+        d, dst, src="source", pattern="^src1[0-9]$",
+        dst_prefix="routed/", payload_cols=["text"],
+    )
+    sink = spark.read.parquet(dst)
+    return sink.select("dst_key", F.md5("text").alias("digest"))
 
 
 @_q(

@@ -235,6 +235,47 @@ def t_extract_lang(df, src="html", dst="lang", **_):
     return df.withColumn(dst, extract_lang_udf(F.col(src)))
 
 
+def batch_rename_write(
+    df,
+    dst_path: str,
+    src: str = "url",
+    pattern: str = ".*",
+    dst_prefix: str = "routed/",
+    payload_cols: list[str] | None = None,
+    mode: str = "overwrite",
+):
+    """batch_rename's dual-sink semantics (copy, NOT move — the
+    reference echoes the original AND puts matching objects under
+    ``dst_prefix + basename`` in a second bucket,
+    batch_rename/fastapi_server.py:44-61): write matching rows to a
+    second sink keyed by their routed name, return the input
+    UNCHANGED (pass-through). ``mode='overwrite'`` makes a re-run
+    byte-idempotent."""
+    payload_cols = payload_cols or [c for c in df.columns if c != src]
+    routed = t_regex_route(df, src=src, pattern=pattern, dst_prefix=dst_prefix)
+    matched = routed.filter(F.col("route_match")).select(
+        F.col("route_dst").alias("dst_key"), *payload_cols
+    )
+    matched.write.mode(mode).parquet(dst_path)
+    return df
+
+
+def batch_rename_foreach_batch(dst_path: str, **kw):
+    """Streaming leg: a ``foreachBatch`` function writing each
+    micro-batch's matches to ``dst_path/batch_id=N``. A replayed batch
+    overwrites its own subdirectory — exactly-once at the sink without
+    coordination (same idempotence pattern as LakeTable's batch-id
+    commit log)."""
+    import os
+
+    def fn(batch_df, batch_id: int):
+        batch_rename_write(
+            batch_df, os.path.join(dst_path, f"batch_id={batch_id}"), **kw
+        )
+
+    return fn
+
+
 @register(
     "regex_route",
     doc="batch_rename: flag rows whose key matches a pattern and compute "

@@ -120,6 +120,45 @@ def test_xxhash_arbitrary_seed(pages):
     assert all(a.xxh != b.xxh for a, b in zip(out, out42))
 
 
+def test_batch_rename_dual_sink(pages, spark, tmp_path):
+    """Mirrors transformers/tests/test_batch_rename.py:27-54: the
+    pass-through leg is byte-identical to the input, the second sink
+    holds exactly the matching payloads under prefix+basename, and a
+    re-run leaves the sink byte-identical (idempotent copy-not-move)."""
+    from ais_etl_spark.transforms.builtin import batch_rename_write
+
+    dst = str(tmp_path / "sink")
+    out = batch_rename_write(
+        pages, dst, src="url", pattern=r"/[xy]$", dst_prefix="routed/",
+        payload_cols=["html"],
+    )
+    # pass-through: the returned frame IS the input, bytes unchanged
+    orig = {r.url: bytes(r.html) for r in pages.collect()}
+    assert {r.url: bytes(r.html) for r in out.collect()} == orig
+
+    def read_sink():
+        return {r.dst_key: bytes(r.html) for r in spark.read.parquet(dst).collect()}
+
+    got = read_sink()
+    assert got == {"routed/x": orig["https://a/x"], "routed/y": orig["https://b/y"]}
+    # idempotent: second run, identical sink
+    batch_rename_write(pages, dst, src="url", pattern=r"/[xy]$",
+                       dst_prefix="routed/", payload_cols=["html"])
+    assert read_sink() == got
+
+
+def test_batch_rename_foreach_batch_idempotent(pages, spark, tmp_path):
+    from ais_etl_spark.transforms.builtin import batch_rename_foreach_batch
+
+    dst = str(tmp_path / "stream-sink")
+    fn = batch_rename_foreach_batch(dst, src="url", pattern=r"/x$",
+                                    dst_prefix="routed/", payload_cols=["html"])
+    fn(pages, 7)
+    fn(pages, 7)  # replayed micro-batch overwrites its own subdir
+    rows = spark.read.parquet(dst + "/batch_id=7").collect()
+    assert [r.dst_key for r in rows] == ["routed/x"]
+
+
 def test_hello_world_and_echo(pages):
     assert apply_transform(pages, "echo").columns == pages.columns
     out = apply_transform(pages, "hello_world").select("greeting").distinct().collect()
