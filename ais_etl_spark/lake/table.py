@@ -3,12 +3,16 @@
 Iceberg semantics, from scratch, sized for the 10^10-event design point:
 
 - **Snapshots are manifests, not data copies.** A commit is one small
-  JSON file listing (data_dir, bucket, schema_version) entries. MERGE
-  rewrites ONLY the buckets containing changed keys; every other
-  bucket's files are carried into the new snapshot by reference —
-  the same copy-on-write file-granularity story as Iceberg MERGE.
-  At 100 TB with 1024 buckets, a batch touching 1% of keys rewrites
-  ~1% of the table, not the table.
+  JSON file listing per-FILE entries (path, bucket, schema_version,
+  key min/max, has_tombstones). MERGE rewrites ONLY the files whose
+  key range can contain a changed key; every other file — including
+  sibling files of the same bucket — is carried into the new snapshot
+  by reference, the same copy-on-write file-granularity story as
+  Iceberg MERGE. Files are written key-sorted and split at
+  ``max_file_rows``, so per-file key ranges within a bucket are
+  disjoint and a hot key's write amplification is one FILE, not one
+  bucket. At 100 TB with 1024 buckets a batch touching 1% of keys
+  rewrites ~1% of the table's files, not the table.
 - **Atomic commit = POSIX rename** of the manifest JSON into
   ``_commits/`` (write-tmp-then-rename; rename is atomic on one
   filesystem). The reference's analog is the versioned result cache
@@ -23,8 +27,9 @@ Iceberg semantics, from scratch, sized for the 10^10-event design point:
   losing (late/stale) event is a no-op. Deletes persist as tombstone
   rows (``_deleted``) so an *older* insert arriving after a newer
   delete stays dead — incremental state matches full replay exactly
-  (the replay-equality bar in BASELINE.json). Tombstone GC would be a
-  snapshot-expiry maintenance job (not needed for correctness).
+  (the replay-equality bar in BASELINE.json). :meth:`gc_tombstones` is
+  the maintenance job that drops tombstones older than the source's
+  lateness watermark — rewriting only the files that contain them.
 - **Metadata-only schema evolution.** Columns have stable ids;
   add/rename appends a schema version WITHOUT rewriting data files.
   Files remember the schema version they were written under; reads
@@ -90,10 +95,14 @@ class LakeTable:
         key: str = "url",
         order_col: str = "warc_ts",
         n_buckets: int = 16,
+        max_file_rows: int = 1 << 20,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` = [(name, spark_ddl_type)].
         ``n_buckets`` fixes the hash-bucket layout (choose ~table_size /
-        target_file_size at real scale; 16 is the local-test default)."""
+        target_file_size at real scale; 16 is the local-test default).
+        ``max_file_rows`` caps rows per data file — files are written
+        key-sorted and split at this bound, which is what makes merge
+        rewrites file-granular inside a bucket."""
         os.makedirs(os.path.join(path, _COMMITS), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
         cols = [Column(i, n, t).__dict__ for i, (n, t) in enumerate(schema)]
@@ -107,6 +116,7 @@ class LakeTable:
             "key": key,
             "order_col": order_col,
             "n_buckets": n_buckets,
+            "max_file_rows": max_file_rows,
             "files": [],
             "batches": [],
             "lineage": {},
@@ -231,15 +241,22 @@ class LakeTable:
         they were written under, maps physical → current names by
         column id, null-backfills added columns, unions, and filters
         tombstones (unless ``include_internal``). ``buckets`` prunes at
-        the manifest level — the merge fast path reads only affected
-        buckets' files."""
+        the manifest level."""
         c = self.commit(snapshot_id)
-        cur_cols = self.schema_cols(c)
         files = c["files"]
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        out = self._entries_df(c, files)
+        if not include_internal:
+            out = out.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
+        return out
 
+    def _entries_df(self, c: dict, files: list[dict]) -> DataFrame:
+        """Scan a specific set of manifest entries (schema-version
+        mapped, internal columns included) — the file-granularity
+        read primitive shared by read() and merge()."""
+        cur_cols = self.schema_cols(c)
         internal = [(_SEQ, "bigint"), (_DELETED, "boolean")]
         parts: list[DataFrame] = []
         by_ver: dict[int, list[str]] = {}
@@ -263,13 +280,10 @@ class LakeTable:
             ddl = self.spark_schema_ddl() + ", " + ", ".join(
                 f"{n} {t}" for n, t in internal
             )
-            out = self.spark.createDataFrame([], ddl)
-        else:
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-        if not include_internal:
-            out = out.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
+            return self.spark.createDataFrame([], ddl)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         return out
 
     # ------------------------------------------------------------------
@@ -327,41 +341,83 @@ class LakeTable:
             ev, key=key, order_cols=(order_col, _SEQ),
             payload_cols=["op", *payload_in],
         )
-        touched, offsets = self._batch_stats(events, key)
+        touched, offsets, hit_paths = self._batch_stats(events, key, c)
         return self._merge_winners(
-            c, winners, batch_id, touched, post_dedup_transform, offsets
+            c, winners, batch_id, touched, hit_paths, post_dedup_transform, offsets
         )
 
-    def _batch_stats(self, events: DataFrame, key: str):
-        """ONE column-pruned pass over the raw events for both merge
-        inputs: per-source-partition offset ranges (lineage) and the
-        set of affected buckets (manifest pruning). Reads only the key
-        + offset columns — never the payload. Every key in the batch
-        has a winner, so raw-event buckets == winner buckets."""
+    def _files_df(self, c: dict) -> DataFrame | None:
+        """The manifest as a tiny broadcastable DataFrame (path, bucket,
+        key range). Entries without stats get NULL ranges = always-hit
+        (conservative, never loses a row)."""
+        entries = c["files"]
+        if not entries:
+            return None
+        rows = [
+            (e["path"], e["bucket"], e.get("min_key"), e.get("max_key"))
+            for e in entries
+        ]
+        return self.spark.createDataFrame(
+            rows, "_fpath string, _fbucket int, _fmin string, _fmax string"
+        )
+
+    def _batch_stats(self, events: DataFrame, key: str, c: dict):
+        """ONE column-pruned pass over the raw events for all three
+        merge inputs: per-source-partition offset ranges (lineage), the
+        set of affected buckets, and the set of HIT FILES — manifest
+        entries whose (bucket, key range) can contain an incoming key;
+        only those files are rewritten. Reads only the key + offset
+        columns, never the payload. Every key in the batch has a
+        winner, so raw-event buckets/files == winner buckets/files.
+        A key matching several overlapping file ranges counts each
+        once (offsets are distinct-counted, event offsets are unique
+        per the feed contract)."""
         b = self._bucket_expr(F.col(key)).alias("_b")
+        fdf = self._files_df(c)
+
+        def with_hits(df: DataFrame) -> DataFrame:
+            if fdf is None:
+                return df.withColumn("_fpath", F.lit(None).cast("string"))
+            cond = (F.col("_fbucket") == F.col("_b")) & (
+                F.col("_fmin").isNull()
+                | ((F.col(key) >= F.col("_fmin")) & (F.col(key) <= F.col("_fmax")))
+            )
+            return df.join(F.broadcast(fdf), cond, "left")
+
         if {"source_part", "offset"} <= set(events.columns):
             rows = (
-                events.select("source_part", "offset", b)
+                with_hits(events.select("source_part", "offset", b, key))
                 .groupBy("source_part")
                 .agg(
                     F.min("offset").alias("min_offset"),
                     F.max("offset").alias("max_offset"),
-                    F.count("*").alias("events"),
+                    F.countDistinct("offset").alias("events"),
                     F.collect_set("_b").alias("_bset"),
+                    F.collect_set("_fpath").alias("_pset"),
                 )
                 .collect()
             )
             touched = sorted({x for r in rows for x in r["_bset"]})
+            hit_paths = {p for r in rows for p in r["_pset"]}
             offsets = [
                 {k: r[k] for k in ("source_part", "min_offset", "max_offset", "events")}
                 for r in rows
             ]
-            return touched, offsets
-        touched = sorted(r[0] for r in events.select(b).distinct().collect())
-        return touched, []
+            return touched, offsets, hit_paths
+        rows = (
+            with_hits(events.select(b, key))
+            .agg(
+                F.collect_set("_b").alias("_bset"),
+                F.collect_set("_fpath").alias("_pset"),
+            )
+            .collect()
+        )
+        touched = sorted({x for r in rows for x in r["_bset"]})
+        hit_paths = {p for r in rows for p in r["_pset"]}
+        return touched, [], hit_paths
 
     def _merge_winners(
-        self, c, winners, batch_id, touched, post_dedup_transform, offsets
+        self, c, winners, batch_id, touched, hit_paths, post_dedup_transform, offsets
     ) -> dict:
         key = c["key"]
         order_col = c["order_col"]
@@ -386,9 +442,12 @@ class LakeTable:
             F.lit(True).alias("_new"),
         ).withColumn("_bucket", self._bucket_expr(F.col(key)))
 
-        # 3. current rows in touched buckets only (manifest pruning)
+        # 3. current rows in HIT FILES only (file-granularity CoW:
+        #    a bucket file whose key range cannot contain an incoming
+        #    key is carried by reference, not read, not rewritten)
+        rewrite_entries = [f for f in c["files"] if f["path"] in hit_paths]
         current = (
-            self.read(include_internal=True, buckets=touched)
+            self._entries_df(c, rewrite_entries)
             .select(
                 key, order_col, _SEQ, _DELETED, *payload_names,
                 F.lit(False).alias("_new"),
@@ -444,35 +503,22 @@ class LakeTable:
         )
         snap_id = c["snapshot_id"] + 1
         rel_dir = f"{_DATA}/snap{snap_id:012d}"
-        out_dir = os.path.join(self.path, rel_dir)
         ordered = [col["name"] for col in cur_cols]
-        (
-            observed.select(*ordered, _SEQ, _DELETED, "_bucket")
-            .repartition(max(len(touched), 1), "_bucket")
-            .write.partitionBy("_bucket")
-            .parquet(out_dir)
+        new_files = self._write_data(
+            observed.select(*ordered, _SEQ, _DELETED, "_bucket"),
+            c, rel_dir, n_parts=max(len(touched), 1),
         )
         counts = obs.get
-        written = {
-            int(d.split("=")[1])
-            for d in os.listdir(out_dir)
-            if d.startswith("_bucket=")
-        }
 
-        carry = [f for f in c["files"] if f["bucket"] not in set(touched)]
-        new_files = [
-            {
-                "path": f"{rel_dir}/_bucket={b}",
-                "bucket": b,
-                "schema_version": c["schema_version"],
-            }
-            for b in sorted(written)
-        ]
+        carry = [f for f in c["files"] if f["path"] not in hit_paths]
         lineage = {
             "batch_id": batch_id,
             "snapshot_id": snap_id,
-            "buckets_rewritten": len(written),
+            "buckets_rewritten": len({f["bucket"] for f in new_files}),
             "buckets_total": c["n_buckets"],
+            "files_rewritten": len(rewrite_entries),
+            "files_written": len(new_files),
+            "files_carried": len(carry),
             "source_offsets": offsets,
             **{k: int(v or 0) for k, v in counts.items()},
         }
@@ -486,6 +532,7 @@ class LakeTable:
             "key": key,
             "order_col": order_col,
             "n_buckets": c["n_buckets"],
+            "max_file_rows": c.get("max_file_rows", 1 << 20),
             "files": carry + new_files,
             "batches": list(c.get("batches", [])) + [batch_id],
             "lineage": lineage,
@@ -493,6 +540,85 @@ class LakeTable:
         self._write_commit(commit)
         self._append_lineage(lineage, offsets)
         return lineage
+
+    # ------------------------------------------------------------------
+    # data-file writer (shared by merge + gc)
+    # ------------------------------------------------------------------
+
+    def _write_data(
+        self, df: DataFrame, c: dict, rel_dir: str, n_parts: int
+    ) -> list[dict]:
+        """Write rows (must carry ``_bucket``) as key-sorted parquet
+        files, one directory per bucket, split at ``max_file_rows``;
+        return per-file manifest entries with key min/max + tombstone
+        presence harvested from the parquet footers (driver-side,
+        bounded by file count — the same commit-path stats collection
+        Iceberg does)."""
+        key = c["key"]
+        out_dir = os.path.join(self.path, rel_dir)
+        (
+            df.repartition(n_parts, "_bucket")
+            # prefix (_bucket) satisfies the dynamic-partition write's
+            # required ordering, so the key sort survives into files
+            .sortWithinPartitions("_bucket", key)
+            .write.option("maxRecordsPerFile", c.get("max_file_rows", 1 << 20))
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        entries: list[dict] = []
+        for sub in sorted(os.listdir(out_dir)):
+            if not sub.startswith("_bucket="):
+                continue
+            bucket = int(sub.split("=")[1])
+            bdir = os.path.join(out_dir, sub)
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                kmin, kmax, has_del = self._footer_stats(
+                    os.path.join(bdir, fn), key
+                )
+                entries.append(
+                    {
+                        "path": f"{rel_dir}/{sub}/{fn}",
+                        "bucket": bucket,
+                        "schema_version": c["schema_version"],
+                        "min_key": kmin,
+                        "max_key": kmax,
+                        "has_del": has_del,
+                    }
+                )
+        return entries
+
+    @staticmethod
+    def _footer_stats(path: str, key: str):
+        """(min_key, max_key, has_tombstones) from parquet row-group
+        statistics. Missing stats degrade to (None, None, True) =
+        always-hit / always-GC-scanned — conservative, never wrong.
+        Parquet truncates long string stats but keeps them valid
+        bounds, so pruning with them stays correct."""
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None, None, True
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        kmin = kmax = None
+        has_del = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[key]).statistics
+            if st is None or not st.has_min_max:
+                kmin = kmax = None
+                has_del = True
+                break
+            kmin = st.min if kmin is None else min(kmin, st.min)
+            kmax = st.max if kmax is None else max(kmax, st.max)
+            dst = md.row_group(rg).column(idx[_DELETED]).statistics
+            has_del = has_del or dst is None or not dst.has_min_max or bool(dst.max)
+        return kmin, kmax, has_del
 
     # ------------------------------------------------------------------
     # maintenance (snapshot expiry — Iceberg's expire_snapshots; the
@@ -532,6 +658,56 @@ class LakeTable:
             os.remove(self._commit_path(s))
             self._commit_cache.pop(s, None)
         return {"snapshots_removed": len(drop), "dirs_removed": dirs_removed}
+
+    def gc_tombstones(self, older_than) -> dict:
+        """Drop tombstone rows with ``order_col <= older_than`` —
+        SAFETY CONTRACT: only call with the source's lateness watermark
+        (no event older than ``older_than`` can still arrive); an
+        expired tombstone can no longer suppress a late stale insert.
+
+        File-granular like merge: only files whose footer says they
+        contain tombstones are read and rewritten; tombstone-free files
+        are carried by reference. Commits a ``gc_tombstones`` snapshot
+        (batch ids preserved, so exactly-once replay is unaffected).
+        Returns {files_rewritten, files_carried, rows_dropped}."""
+        c = self.commit()
+        hit = [f for f in c["files"] if f.get("has_del", True)]
+        carry = [f for f in c["files"] if not f.get("has_del", True)]
+        if not hit:
+            return {"files_rewritten": 0, "files_carried": len(carry),
+                    "rows_dropped": 0}
+        order_col = c["order_col"]
+        cur = self._entries_df(c, hit).withColumn(
+            "_bucket", self._bucket_expr(F.col(c["key"]))
+        )
+        expired = F.col(_DELETED) & (F.col(order_col) <= F.lit(older_than))
+
+        from pyspark.sql import Observation
+
+        obs = Observation("gc-tombstones")
+        kept = cur.observe(
+            obs, F.sum(expired.cast("long")).alias("dropped")
+        ).filter(~expired)
+        snap_id = c["snapshot_id"] + 1
+        rel_dir = f"{_DATA}/snap{snap_id:012d}"
+        new_files = self._write_data(
+            kept, c, rel_dir, n_parts=max(len({f['bucket'] for f in hit}), 1)
+        )
+        dropped = int(obs.get.get("dropped") or 0)
+        commit = {
+            **{k: c[k] for k in ("schema_version", "schemas", "key", "order_col",
+                                 "n_buckets", "max_file_rows")},
+            "snapshot_id": snap_id,
+            "parent": c["snapshot_id"],
+            "batch_id": None,
+            "operation": "gc_tombstones",
+            "files": carry + new_files,
+            "batches": list(c.get("batches", [])),
+            "lineage": {"rows_dropped": dropped},
+        }
+        self._write_commit(commit)
+        return {"files_rewritten": len(hit), "files_carried": len(carry),
+                "rows_dropped": dropped}
 
     # ------------------------------------------------------------------
     # lineage table

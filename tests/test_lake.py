@@ -79,6 +79,47 @@ def test_copy_on_write_only_touched_buckets(spark, tmpdir_path):
     assert len(carried) == len(files_before) - 1  # all but the hit bucket reused
 
 
+def test_file_granularity_rewrite_within_bucket(spark, tmpdir_path):
+    """A merge touching one key must rewrite only the FILE containing
+    it, carrying sibling files of the same bucket by reference."""
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=1,
+                           max_file_rows=25)
+    tbl.merge(
+        ev(spark, [(i, "I", f"u{i:04d}", T(i), f"t{i}") for i in range(200)]),
+        "b1",
+    )
+    entries = tbl.commit()["files"]
+    assert len(entries) >= 8  # 200 rows / 25-per-file split
+    assert all(e["min_key"] is not None for e in entries)
+    before = {f["path"] for f in entries}
+    lin = tbl.merge(ev(spark, [(999, "U", "u0042", T(999), "new")]), "b2")
+    assert lin["files_rewritten"] == 1
+    assert lin["files_rewritten"] < len(entries)
+    after = {f["path"] for f in tbl.commit()["files"]}
+    assert len(before & after) == len(before) - 1  # all but one file carried
+    got = {r.url: r.text for r in tbl.read().collect()}
+    want = {f"u{i:04d}": f"t{i}" for i in range(200)}
+    want["u0042"] = "new"
+    assert got == want  # replay equality survives file-granular CoW
+
+
+def test_gc_tombstones_file_granular(spark, tmpdir_path):
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=2,
+                           max_file_rows=10)
+    tbl.merge(ev(spark, [(i, "I", f"u{i}", T(i), f"t{i}") for i in range(30)]), "b1")
+    tbl.merge(ev(spark, [(100, "D", "u3", T(100), None),
+                         (101, "D", "u7", T(101), None)]), "b2")
+    assert tbl.read(include_internal=True).filter("_deleted").count() == 2
+    # watermark passes u3's delete (T(100)) but not u7's (T(101))
+    res = tbl.gc_tombstones(older_than=T(100))
+    assert res["rows_dropped"] == 1
+    assert res["files_carried"] > 0  # tombstone-free files not rewritten
+    assert tbl.read(include_internal=True).filter("_deleted").count() == 1
+    assert tbl.read().count() == 28  # live rows untouched
+    # batch ids preserved across the gc snapshot → replay still a no-op
+    assert tbl.merge(ev(spark, [(1, "I", "u1", T(1), "t1")]), "b1") == {}
+
+
 def test_schema_add_and_rename_without_rewrite(spark, tbl):
     tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a")]), "b1")
     files_before = [f["path"] for f in tbl.commit()["files"]]
