@@ -1321,7 +1321,9 @@ def q_mm_features(spark, sf_dir):
         F.lit(64).alias("meta_height"),
         F.lit(None).cast("int").alias("meta_duration_ms"),
     )
-    out = extract_features(d, dim=8)
+    # fake decoder pinned: the oracle transliterates it; the PIL-real
+    # path is runtime-detected and tested separately
+    out = extract_features(d, dim=8, fake_decode=True)
     return out.select(
         "media_id",
         "media_type",

@@ -70,25 +70,28 @@ def asof_join(
         .orderBy("_ts", _TAG)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE last(ignorenulls) over a struct of (ts + all payload columns):
+    # the matched row is a single state version even when payload fields
+    # are NULL — per-column fills would let a NULL field inherit from an
+    # OLDER state row (diverging from ASOF JOIN semantics).
+    state_struct = F.when(
+        F.col(_TAG) == 0,
+        F.struct(
+            F.col("_ts").alias("asof_ts"),
+            *[F.col(c) for c in payload_cols],
+        ),
+    )
     filled = u.select(
         F.col(key),
         F.col("_ts"),
         F.col(_TAG),
-        F.last(F.when(F.col(_TAG) == 0, F.col("_ts")), ignorenulls=True)
-        .over(w)
-        .alias("asof_ts"),
-        *[
-            F.last(F.when(F.col(_TAG) == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(c)
-            for c in payload_cols
-        ],
+        F.last(state_struct, ignorenulls=True).over(w).alias("_w"),
         *[F.col(f"_p_{c}") for c in probe_cols],
     )
     return filled.filter(F.col(_TAG) == 1).select(
         F.col(key),
         F.col("_ts").alias(probe_ts),
         *[F.col(f"_p_{c}").alias(c) for c in probe_cols],
-        "asof_ts",
-        *payload_cols,
+        F.col("_w.asof_ts").alias("asof_ts"),
+        *[F.col(f"_w.{c}").alias(c) for c in payload_cols],
     )

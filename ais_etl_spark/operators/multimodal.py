@@ -76,12 +76,48 @@ def classify_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover - lib absent
-    """Real decode — requires PIL, absent in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv (not installed); "
-        "use fake_decode=True for the deterministic test path"
-    )
+def _has_pil() -> bool:
+    """Runtime codec detection — the extension-dispatch analog of the
+    reference's lib checks; decide per process, not per import."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _decode_image_features_real(payload: bytes, dim: int) -> list[float]:
+    """Real decode path (used automatically when PIL is installed;
+    tested behind a skipif marker in tests/test_multimodal.py):
+    decode → grayscale → dim×dim resize → per-row mean intensity."""
+    if not _has_pil():  # pragma: no cover - lib absent in sandbox
+        raise NotImplementedError(
+            "image decode requires PIL (not installed); "
+            "use fake_decode=True for the deterministic test path"
+        )
+    import io
+
+    from PIL import Image  # noqa: PLC0415
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
+    px = list(img.getdata())
+    return [sum(px[r * dim : (r + 1) * dim]) / (dim * 255.0) for r in range(dim)]
+
+
+def _resize_image_real(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize (PIL-if-present), preserving the source format."""
+    if not _has_pil():  # pragma: no cover - lib absent in sandbox
+        raise NotImplementedError(
+            "image resize requires PIL (not installed); "
+            "use fake_decode=True for the deterministic test path"
+        )
+    import io
+
+    from PIL import Image  # noqa: PLC0415
+
+    img = Image.open(io.BytesIO(payload))
+    fmt = img.format or "PNG"
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format=fmt)
+    return out.getvalue()
 
 
 def _fake_image_features(payload: bytes, dim: int) -> list[float]:
@@ -101,13 +137,17 @@ def _fake_image_features(payload: bytes, dim: int) -> list[float]:
 def extract_features(
     df: DataFrame,
     dim: int = 8,
-    fake_decode: bool = True,
+    fake_decode: bool | None = None,
     batch_size_hint: int = 64,
 ) -> DataFrame:
     """Media → feature vectors via iterator-form ``mapInPandas``
     (transform_stream analog: one Arrow batch resident per task).
     Non-media rows pass through with null features (extension-dispatch
-    pass-through semantics)."""
+    pass-through semantics). ``fake_decode=None`` auto-detects: real
+    PIL decode when the lib is installed, the deterministic fake
+    otherwise (pin ``True`` for oracle-reproducible output)."""
+    if fake_decode is None:
+        fake_decode = not _has_pil()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,8 +157,8 @@ def extract_features(
                     feats.append(None)
                 elif fake_decode:
                     feats.append(_fake_image_features(payload, dim))
-                else:  # pragma: no cover - real codec path
-                    feats.append(_decode_image_real(bytes(payload)))
+                else:
+                    feats.append(_decode_image_features_real(bytes(payload), dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -131,12 +171,14 @@ def extract_features(
 
 
 def resize_images(
-    df: DataFrame, width: int, height: int, fake_decode: bool = True
+    df: DataFrame, width: int, height: int, fake_decode: bool | None = None
 ) -> DataFrame:
     """Image resize stage (torchvision Resize analog). Fake mode tags
     the payload with a deterministic 8-byte header recording the new
-    dims (so tests assert the plumbing end-to-end); real mode raises
-    until a codec lib is present."""
+    dims (so tests assert the plumbing end-to-end); real mode (auto
+    when PIL is installed) decodes and re-encodes at the new size."""
+    if fake_decode is None:
+        fake_decode = not _has_pil()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hdr = b"RSZ1" + width.to_bytes(2, "big") + height.to_bytes(2, "big")
@@ -147,8 +189,8 @@ def resize_images(
                     out.append(None)
                 elif fake_decode:
                     out.append(hdr + bytes(payload))
-                else:  # pragma: no cover
-                    out.append(_decode_image_real(bytes(payload)))
+                else:
+                    out.append(_resize_image_real(bytes(payload), width, height))
             pdf = pdf.copy()
             pdf["payload"] = out
             pdf["meta_width"] = width

@@ -59,6 +59,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # --- timeouts / failure policy (the reference's initTimeout /
+        # probe analog, transformers/echo/etl_spec.yaml:27-29): bound
+        # how long a wedged task or broadcast can stall the pipeline
+        .config("spark.task.maxFailures", "4")
+        .config("spark.network.timeout", "120s")
+        .config("spark.sql.broadcastTimeout", "300")
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -92,13 +92,24 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window op counts — the streaming metrics
     feed. Late events beyond ``watermark_delay`` are dropped (bounded
-    lateness; document + test, per SURVEY §2.3 late-data row)."""
+    lateness; document + test, per SURVEY §2.3 late-data row).
+
+    Distinct-url counting: exact ``count(DISTINCT)`` is not supported
+    on streaming aggregations (AnalysisException), so the streaming
+    path uses ``approx_count_distinct`` (HLL++, mergeable in the state
+    store — the only formulation that scales to unbounded keys
+    anyway); the batch path keeps the exact count as the oracle twin.
+    """
+    distinct_urls = (
+        F.approx_count_distinct("url") if events.isStreaming
+        else F.countDistinct("url")
+    )
     return (
         events.withWatermark("warc_ts", watermark_delay)
         .groupBy(F.window("warc_ts", window_duration).alias("win"), F.col("op"))
         .agg(
             F.count("*").alias("n_events"),
-            F.countDistinct("url").alias("n_urls"),
+            distinct_urls.alias("n_urls"),
         )
         .select(
             F.col("win.start").alias("window_start"),

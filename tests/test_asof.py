@@ -64,3 +64,26 @@ def test_asof_payload_subset(spark, states):
     )
     assert set(out.columns) == {"url", "pts", "probe_id", "asof_ts", "event_id"}
     assert out.collect()[0]["event_id"] == 3
+
+
+def test_asof_null_payload_fields_stay_in_one_version(spark):
+    """A matched state row with a NULL payload field must NOT inherit
+    that field from an older state version — the whole matched row is
+    one state version (single struct fill)."""
+    states = spark.createDataFrame(
+        [
+            ("k", ts("2026-01-01 00:00:00"), 1, "old-val", "old-tag"),
+            ("k", ts("2026-01-01 01:00:00"), 2, None, "new-tag"),  # val is NULL
+        ],
+        "url string, warc_ts timestamp, event_id long, val string, tag string",
+    )
+    probes = spark.createDataFrame(
+        [("k", ts("2026-01-01 02:00:00"), 10)],
+        "url string, pts timestamp, probe_id long",
+    )
+    row = asof_join(
+        probes, states, key="url", probe_ts="pts", state_ts="warc_ts",
+        payload_cols=["event_id", "val", "tag"],
+    ).collect()[0]
+    assert row.event_id == 2 and row.tag == "new-tag"
+    assert row.val is None  # NOT "old-val" leaked from version 1

@@ -108,3 +108,65 @@ def test_windowed_event_counts(spark, tmpdir_path):
     }
     assert got[(ts("2026-01-01 00:00:00"), "I")] == (2, 2)
     assert got[(ts("2026-01-01 01:00:00"), "U")] == (1, 1)
+
+
+def test_windowed_event_counts_real_stream_with_health(spark, tmpdir_path):
+    """The streaming path must actually RUN as a stream (exact
+    countDistinct raises AnalysisException there — the operator swaps
+    in approx_count_distinct), and the HealthListener must observe its
+    progress."""
+    import time
+
+    from ais_etl_spark.streaming.health import HealthListener
+
+    feed = os.path.join(tmpdir_path, "feed")
+    _write_chunks(
+        spark,
+        feed,
+        [
+            [
+                (1, "I", "a", ts("2026-01-01 00:10:00")),
+                (2, "I", "b", ts("2026-01-01 00:20:00")),
+                (3, "U", "a", ts("2026-01-01 01:10:00")),
+                (4, "D", "c", ts("2026-01-01 01:40:00")),
+            ],
+        ],
+    )
+    listener = HealthListener(jsonl_path=os.path.join(tmpdir_path, "health.jsonl"))
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema(FEED).parquet(os.path.join(feed, "*"))
+        q = (
+            windowed_event_counts(stream, "1 hour", "2 hours")
+            .writeStream.format("memory")
+            .queryName("wc_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmpdir_path, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["window_start"], r["op"]): (r["n_events"], r["n_urls"])
+            for r in spark.sql("SELECT * FROM wc_stream").collect()
+        }
+        # exact batch twin for n_events; n_urls is approximate (HLL) —
+        # bounded by n_events and positive
+        assert got[(ts("2026-01-01 00:00:00"), "I")][0] == 2
+        assert got[(ts("2026-01-01 01:00:00"), "U")][0] == 1
+        assert all(1 <= urls <= n for (n, urls) in got.values())
+
+        # listener bus is async — poll briefly for the progress event
+        for _ in range(50):
+            snap = listener.snapshot()
+            if any(s.get("input_rows", 0) > 0 for s in snap.values()):
+                break
+            time.sleep(0.2)
+        snap = listener.snapshot()
+        assert any(
+            s.get("input_rows", 0) >= 4 and s["healthy"] for s in snap.values()
+        ), snap
+        with open(os.path.join(tmpdir_path, "health.jsonl")) as f:
+            assert any('"num_input_rows": 4' in ln for ln in f)
+    finally:
+        spark.streams.removeListener(listener)
