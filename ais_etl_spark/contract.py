@@ -918,6 +918,39 @@ def q_tf_archive_pipeline(spark, sf_dir):
     return members.select("archive_id", "member_name", "member_size")
 
 
+@_q(
+    "tf_tfrecord_roundtrip",
+    """SELECT CAST(doc_id % 20 AS VARCHAR) AS group_id,
+       'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS member_name,
+       md5(text) AS digest
+FROM documents""",
+)
+def q_tf_tfrecord_roundtrip(spark, sf_dir):
+    """tar2tf's TFRecord target (tar2tf/src/main.go:129-198,
+    transforms/job.go:166-188): samples → one TFRecord of
+    tf.train.Example protos per output object (CRC32C-framed,
+    byte-deterministic), then parsed BACK and digested — the oracle
+    recomputes the digests from the source table, so any framing or
+    proto corruption breaks the hash. Byte-range serving over the
+    blob is exercised in tests/test_tfrecord.py."""
+    from ais_etl_spark.operators.tfrecord import (
+        explode_tfrecord,
+        samples_to_tfrecords,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 20).cast("string").alias("group_id"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "member_name"
+        ),
+        F.encode("text", "utf-8").alias("member_bytes"),
+    )
+    members = explode_tfrecord(samples_to_tfrecords(d))
+    return members.select(
+        "group_id", "member_name", F.md5("member_bytes").alias("digest")
+    )
+
+
 # ===========================================================================
 # Text analysis (training-data curation)
 # ===========================================================================
@@ -1260,9 +1293,13 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 @_q("sim_ivf_topk")  # rows-only: approximate (recall asserted in tests)
 def q_sim_ivf_topk(spark, sf_dir):
+    """IVF with k-means-trained centroids (2 Lloyd iterations over
+    DataFrame ops — broadcast assign + per-dim columnar mean)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(emb, queries, k=10, n_cells=8, nprobe=2)
+    return S.ivf_topk(
+        emb, queries, k=10, n_cells=8, nprobe=2, train_iters=2, dim=64
+    )
 
 
 @_q("sim_lsh_topk")  # rows-only: approximate (bucket containment in tests)

@@ -346,75 +346,69 @@ class LakeTable:
             c, winners, batch_id, touched, hit_paths, post_dedup_transform, offsets
         )
 
-    def _files_df(self, c: dict) -> DataFrame | None:
-        """The manifest as a tiny broadcastable DataFrame (path, bucket,
-        key range). Entries without stats get NULL ranges = always-hit
-        (conservative, never loses a row)."""
-        entries = c["files"]
-        if not entries:
-            return None
-        rows = [
-            (e["path"], e["bucket"], e.get("min_key"), e.get("max_key"))
-            for e in entries
-        ]
-        return self.spark.createDataFrame(
-            rows, "_fpath string, _fbucket int, _fmin string, _fmax string"
-        )
-
     def _batch_stats(self, events: DataFrame, key: str, c: dict):
-        """ONE column-pruned pass over the raw events for all three
-        merge inputs: per-source-partition offset ranges (lineage), the
-        set of affected buckets, and the set of HIT FILES — manifest
-        entries whose (bucket, key range) can contain an incoming key;
-        only those files are rewritten. Reads only the key + offset
-        columns, never the payload. Every key in the batch has a
-        winner, so raw-event buckets/files == winner buckets/files.
-        A key matching several overlapping file ranges counts each
-        once (offsets are distinct-counted, event offsets are unique
-        per the feed contract)."""
+        """Pre-pass over the raw events, column-pruned to key+offset
+        (never the payload), for the three merge inputs:
+
+        1. per-source-partition offset ranges + event counts (lineage)
+           and the set of affected buckets — ONE map-side-combined
+           aggregation, shuffle = a handful of rows per source part;
+        2. the set of HIT FILES — manifest entries whose (bucket, key
+           range) can contain an incoming key; only those files are
+           rewritten. SKIPPED when the manifest has no entries in the
+           touched buckets (e.g. the initial load): everything is a
+           miss by construction. Otherwise one distinct-keys broadcast
+           join — distinct collapses the batch to its key set before
+           the range probe, and a key matching several overlapping
+           ranges flags each file once.
+
+        Every key in the batch has a winner, so raw-event buckets ==
+        winner buckets."""
         b = self._bucket_expr(F.col(key)).alias("_b")
-        fdf = self._files_df(c)
-
-        def with_hits(df: DataFrame) -> DataFrame:
-            if fdf is None:
-                return df.withColumn("_fpath", F.lit(None).cast("string"))
-            cond = (F.col("_fbucket") == F.col("_b")) & (
-                F.col("_fmin").isNull()
-                | ((F.col(key) >= F.col("_fmin")) & (F.col(key) <= F.col("_fmax")))
-            )
-            return df.join(F.broadcast(fdf), cond, "left")
-
         if {"source_part", "offset"} <= set(events.columns):
             rows = (
-                with_hits(events.select("source_part", "offset", b, key))
+                events.select("source_part", "offset", b)
                 .groupBy("source_part")
                 .agg(
                     F.min("offset").alias("min_offset"),
                     F.max("offset").alias("max_offset"),
-                    F.countDistinct("offset").alias("events"),
+                    F.count("*").alias("events"),
                     F.collect_set("_b").alias("_bset"),
-                    F.collect_set("_fpath").alias("_pset"),
                 )
                 .collect()
             )
             touched = sorted({x for r in rows for x in r["_bset"]})
-            hit_paths = {p for r in rows for p in r["_pset"]}
             offsets = [
                 {k: r[k] for k in ("source_part", "min_offset", "max_offset", "events")}
                 for r in rows
             ]
-            return touched, offsets, hit_paths
-        rows = (
-            with_hits(events.select(b, key))
-            .agg(
-                F.collect_set("_b").alias("_bset"),
-                F.collect_set("_fpath").alias("_pset"),
-            )
-            .collect()
+        else:
+            touched = sorted(r[0] for r in events.select(b).distinct().collect())
+            offsets = []
+
+        candidates = [f for f in c["files"] if f["bucket"] in set(touched)]
+        if not candidates:
+            return touched, offsets, set()
+        fdf = self.spark.createDataFrame(
+            [
+                (e["path"], e["bucket"], e.get("min_key"), e.get("max_key"))
+                for e in candidates
+            ],
+            "_fpath string, _fbucket int, _fmin string, _fmax string",
         )
-        touched = sorted({x for r in rows for x in r["_bset"]})
-        hit_paths = {p for r in rows for p in r["_pset"]}
-        return touched, [], hit_paths
+        keys = events.select(F.col(key), b).distinct()
+        cond = (F.col("_fbucket") == F.col("_b")) & (
+            F.col("_fmin").isNull()
+            | ((F.col(key) >= F.col("_fmin")) & (F.col(key) <= F.col("_fmax")))
+        )
+        hit_paths = {
+            r[0]
+            for r in keys.join(F.broadcast(fdf), cond)
+            .select("_fpath")
+            .distinct()
+            .collect()
+        }
+        return touched, offsets, hit_paths
 
     def _merge_winners(
         self, c, winners, batch_id, touched, hit_paths, post_dedup_transform, offsets
@@ -565,29 +559,32 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        entries: list[dict] = []
+        work: list[tuple[str, int, str]] = []
         for sub in sorted(os.listdir(out_dir)):
             if not sub.startswith("_bucket="):
                 continue
             bucket = int(sub.split("=")[1])
             bdir = os.path.join(out_dir, sub)
             for fn in sorted(os.listdir(bdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                kmin, kmax, has_del = self._footer_stats(
-                    os.path.join(bdir, fn), key
-                )
-                entries.append(
-                    {
-                        "path": f"{rel_dir}/{sub}/{fn}",
-                        "bucket": bucket,
-                        "schema_version": c["schema_version"],
-                        "min_key": kmin,
-                        "max_key": kmax,
-                        "has_del": has_del,
-                    }
-                )
-        return entries
+                if fn.endswith(".parquet"):
+                    work.append((f"{rel_dir}/{sub}/{fn}", bucket, os.path.join(bdir, fn)))
+        # footer reads are tiny but latency-bound — a thread pool keeps
+        # this commit-path step O(files/threads) driver-side
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            stats = list(pool.map(lambda w: self._footer_stats(w[2], key), work))
+        return [
+            {
+                "path": rel_path,
+                "bucket": bucket,
+                "schema_version": c["schema_version"],
+                "min_key": kmin,
+                "max_key": kmax,
+                "has_del": has_del,
+            }
+            for (rel_path, bucket, _), (kmin, kmax, has_del) in zip(work, stats)
+        ]
 
     @staticmethod
     def _footer_stats(path: str, key: str):
@@ -708,6 +705,102 @@ class LakeTable:
         self._write_commit(commit)
         return {"files_rewritten": len(hit), "files_carried": len(carry),
                 "rows_dropped": dropped}
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Small-file compaction (Iceberg's rewrite_data_files): rewrite
+        the selected buckets' files into fresh key-sorted files at the
+        table's ``max_file_rows`` target, carrying every other file by
+        reference. Data, tombstones, and batch ids are unchanged — a
+        pure layout operation, needed after many small merges pile up
+        per-batch files. Returns {files_before, files_after}."""
+        c = self.commit()
+        bset = set(buckets) if buckets is not None else None
+        hit = [f for f in c["files"] if bset is None or f["bucket"] in bset]
+        carry = [f for f in c["files"] if not (bset is None or f["bucket"] in bset)]
+        if not hit:
+            return {"files_before": len(c["files"]), "files_after": len(c["files"])}
+        rows = self._entries_df(c, hit).withColumn(
+            "_bucket", self._bucket_expr(F.col(c["key"]))
+        )
+        snap_id = c["snapshot_id"] + 1
+        new_files = self._write_data(
+            rows, c, f"{_DATA}/snap{snap_id:012d}",
+            n_parts=max(len({f['bucket'] for f in hit}), 1),
+        )
+        commit = {
+            **{k: c[k] for k in ("schema_version", "schemas", "key", "order_col",
+                                 "n_buckets", "max_file_rows")},
+            "snapshot_id": snap_id,
+            "parent": c["snapshot_id"],
+            "batch_id": None,
+            "operation": "compact",
+            "files": carry + new_files,
+            "batches": list(c.get("batches", [])),
+            "lineage": {"files_before": len(hit), "files_after": len(new_files)},
+        }
+        self._write_commit(commit)
+        return {"files_before": len(hit) + len(carry),
+                "files_after": len(new_files) + len(carry)}
+
+    # ------------------------------------------------------------------
+    # incremental changelog (CDC OUT — Iceberg's incremental scan)
+    # ------------------------------------------------------------------
+
+    def changes(self, from_snapshot: int, to_snapshot: int | None = None) -> DataFrame:
+        """Row-level changelog between two snapshots, reading ONLY the
+        files that changed (added/removed from the manifest) — the
+        feed a downstream consumer tails to stay in sync without
+        re-scanning the table.
+
+        Output: table columns + ``change_type`` ∈ {insert, update,
+        delete}. Semantics per key: live→live with a newer
+        (order_col, seq) = update; absent-or-tombstone→live = insert;
+        live→tombstone = delete; carried rows rewritten only for file
+        splits/compaction produce NO change row (same version)."""
+        cf = self.commit(from_snapshot)
+        ct = self.commit(to_snapshot)
+        key = ct["key"]
+        order_col = ct["order_col"]
+        from_paths = {f["path"] for f in cf["files"]}
+        to_paths = {f["path"] for f in ct["files"]}
+        removed = [f for f in cf["files"] if f["path"] not in to_paths]
+        added = [f for f in ct["files"] if f["path"] not in from_paths]
+        cols = [c["name"] for c in self.schema_cols(ct)]
+
+        old = self._entries_df(cf, removed).select(
+            F.col(key).alias("_k"),
+            F.struct(F.col(order_col), F.col(_SEQ), F.col(_DELETED)).alias("_ov"),
+        )
+        new = self._entries_df(ct, added).select(
+            F.col(key).alias("_k"),
+            F.struct(F.col(order_col), F.col(_SEQ), F.col(_DELETED)).alias("_nv"),
+            *[F.col(c) for c in cols if c != key],
+        )
+        j = new.join(old, "_k", "left")
+        o_del = F.col(f"_ov.{_DELETED}")
+        n_del = F.col(f"_nv.{_DELETED}")
+        same_version = (
+            (F.col(f"_ov.{order_col}") == F.col(f"_nv.{order_col}"))
+            & (F.col(f"_ov.{_SEQ}") == F.col(f"_nv.{_SEQ}"))
+        )
+        change = (
+            F.when(F.col("_ov").isNull() & ~n_del, "insert")
+            .when(F.col("_ov").isNull(), F.lit(None))        # new tombstone, unseen key
+            .when(same_version, F.lit(None))                  # carried (file split)
+            .when(o_del & ~n_del, "insert")                   # resurrection
+            .when(~o_del & n_del, "delete")
+            .when(~o_del & ~n_del, "update")
+            .otherwise(F.lit(None))                           # tombstone refresh
+        )
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(
+                F.col("_k").alias(key),
+                *[F.col(c) for c in cols if c != key],
+                "change_type",
+            )
+        )
 
     # ------------------------------------------------------------------
     # lineage table

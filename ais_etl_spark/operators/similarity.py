@@ -122,16 +122,62 @@ def seed_centroids(
     corpus: DataFrame, n_cells: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """Deterministic centroids: the ``n_cells`` lowest-id vectors.
-    (A k-means refinement would iterate ivf_assign + groupBy-avg;
-    seeding keeps the operator dependency-free and replay-stable.)"""
+    Cell ids come from an explicit row_number window over the id —
+    NOT monotonically_increasing_id after a limit, whose id/sort-order
+    correspondence is an implementation accident. n_cells rows: the
+    single-partition window is free."""
+    w = Window.orderBy(id_col)
     return (
         corpus.orderBy(id_col)
         .limit(n_cells)
         .select(
-            F.monotonically_increasing_id().cast("int").alias("cell"),
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
             F.col(vec_col),
         )
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    n_cells: int,
+    dim: int,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over DataFrame ops — the IVF training step that
+    turns the deterministic seeds into real centroids (better cell
+    balance ⇒ better recall at the same nprobe).
+
+    Each iteration = one broadcast assign (no corpus shuffle) + one
+    grouped mean as ``dim`` per-dimension sums in a single hash
+    aggregate — map-side combine reduces every task to one partial row
+    per cell, so the shuffle carries n_cells × dim doubles, never the
+    vectors. Deterministic seed from :func:`seed_centroids`; empty
+    cells keep their previous centroid. Returns (cell, vec_col)."""
+    cents = seed_centroids(corpus, n_cells, vec_col, id_col).select(
+        "cell", F.col(vec_col).cast("array<double>").alias("_e")
+    )
+    v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e"))
+    for _ in range(iters):
+        assigned = ivf_assign(v, cents, vec_col="_e", id_col=id_col)
+        summed = assigned.groupBy("cell").agg(
+            F.count("*").alias("_n"),
+            *[
+                F.sum(F.element_at("_e", d + 1)).alias(f"_s{d}")
+                for d in range(dim)
+            ],
+        )
+        new_cents = summed.select(
+            "cell",
+            F.array(*[F.col(f"_s{d}") / F.col("_n") for d in range(dim)]).alias("_nv"),
+        )
+        prev = cents.select("cell", F.col("_e").alias("_pv"))
+        cents = prev.join(new_cents, "cell", "left").select(
+            "cell",
+            F.coalesce(F.col("_nv"), F.col("_pv")).alias("_e"),
+        )
+    return cents.select("cell", F.col("_e").alias(vec_col))
 
 
 def ivf_topk(
@@ -142,11 +188,20 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_iters: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k probing ``nprobe`` cells per query: search cost ≈
     nprobe/n_cells of brute force. Join key is ``cell`` — an equi-join
-    the planner co-partitions; a hot cell is AQE-splittable."""
-    cents = seed_centroids(corpus, n_cells, vec_col, id_col)
+    the planner co-partitions; a hot cell is AQE-splittable.
+    ``train_iters > 0`` refines the seed centroids with k-means
+    (requires ``dim``) for better cell balance/recall."""
+    if train_iters > 0:
+        if dim is None:
+            raise ValueError("train_iters > 0 requires dim")
+        cents = kmeans_refine(corpus, n_cells, dim, train_iters, vec_col, id_col)
+    else:
+        cents = seed_centroids(corpus, n_cells, vec_col, id_col)
     assigned = ivf_assign(corpus, cents, vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("cell"),

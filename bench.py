@@ -97,6 +97,8 @@ QUERY_NAMES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
     "txt_quality",
     "txt_token_counts",
     "sim_cosine_topk",
@@ -113,10 +115,13 @@ def main() -> None:
     spark = get_spark(app_name="ais-etl-bench")
     cores = spark.sparkContext.defaultParallelism
 
-    # events scale with sf: 100k per 0.01 → 1M at sf0.1 design point,
-    # clipped for wall-clock sanity in the per-round driver run
+    # events scale with sf, clipped for wall-clock sanity in the
+    # per-round driver run. 2M at sf0.1: large enough that per-batch
+    # fixed overhead (job setup, commit, footer scan) is amortized and
+    # the headline reflects steady-state throughput (at 300k the fixed
+    # cost dominated and understated it ~4x — see BENCH.md).
     n_events = int(os.environ.get("BENCH_EVENTS", 0)) or min(
-        max(int(sf * 3_000_000), 30_000), 600_000
+        max(int(sf * 20_000_000), 30_000), 2_000_000
     )
     ingest = run_ingest_bench(spark, n_events)
 

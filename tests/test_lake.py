@@ -162,3 +162,47 @@ def test_merge_rejects_missing_columns(spark, tbl):
     bad = spark.createDataFrame([(1, "I", "u1")], "event_id bigint, op string, url string")
     with pytest.raises(ValueError, match="warc_ts"):
         tbl.merge(bad, "b1")
+
+
+def test_changes_incremental_changelog(spark, tmpdir_path):
+    """changes(a, b) must equal the semantic diff of the two snapshot
+    reads, while scanning only added/removed files."""
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=4)
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a"), (2, "I", "u2", T(1), "b"),
+                         (3, "I", "u3", T(1), "c")]), "b1")
+    s1 = tbl.current_snapshot_id()
+    tbl.merge(ev(spark, [(4, "U", "u1", T(2), "a2"),     # update
+                         (5, "D", "u2", T(2), None),       # delete
+                         (6, "I", "u4", T(2), "d"),        # insert
+                         (7, "U", "u3", T(0), "stale")]),  # stale → no change
+              "b2")
+    s2 = tbl.current_snapshot_id()
+    got = {(r.url, r.change_type): r.text for r in tbl.changes(s1, s2).collect()}
+    assert got == {("u1", "update"): "a2", ("u2", "delete"): None,
+                   ("u4", "insert"): "d"}
+    # resurrection shows as insert
+    tbl.merge(ev(spark, [(8, "I", "u2", T(3), "back")]), "b3")
+    s3 = tbl.current_snapshot_id()
+    got2 = {(r.url, r.change_type) for r in tbl.changes(s2, s3).collect()}
+    assert got2 == {("u2", "insert")}
+    # full-range changelog vs naive diff of the two snapshot reads
+    all_changes = {(r.url, r.change_type) for r in tbl.changes(s1, s3).collect()}
+    assert all_changes == {("u1", "update"), ("u4", "insert"), ("u2", "update")}
+
+
+def test_compact_merges_small_files(spark, tmpdir_path):
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=2,
+                           max_file_rows=1000)
+    for b in range(5):  # five tiny merges → ≥5 files per touched bucket
+        tbl.merge(ev(spark, [(100 * b + i, "I", f"u{b}-{i}", T(b * 10 + i), f"t{b}{i}")
+                             for i in range(6)]), f"b{b}")
+    before = tbl.commit()["files"]
+    data_before = {(r.url, r.text) for r in tbl.read().collect()}
+    res = tbl.compact()
+    assert res["files_after"] < res["files_before"]
+    assert len(tbl.commit()["files"]) == res["files_after"]
+    assert {(r.url, r.text) for r in tbl.read().collect()} == data_before
+    # compaction is pure layout: no change rows between the snapshots
+    assert tbl.changes(tbl.commit()["parent"]).count() == 0
+    # batch replay still idempotent across the compact snapshot
+    assert tbl.merge(ev(spark, [(0, "I", "u0-0", T(0), "x")]), "b0") == {}

@@ -70,3 +70,36 @@ def test_lsh_bucket_deterministic(vecs):
     b2 = {r["vec_id"]: r["bucket"] for r in S.lsh_bucket(vecs, dim=4, nbits=8).collect()}
     assert b1 == b2
     assert 0 <= min(b1.values()) and max(b1.values()) < 256
+
+
+def test_kmeans_refine_deterministic_and_improves_balance(vecs):
+    seeds = {r["cell"]: list(r["embedding"]) for r in
+             S.seed_centroids(vecs, 4).collect()}
+    assert sorted(seeds) == [0, 1, 2, 3]
+    c1 = {r["cell"]: [round(float(x), 9) for x in r["embedding"]] for r in
+          S.kmeans_refine(vecs, 4, dim=4, iters=2).collect()}
+    c2 = {r["cell"]: [round(float(x), 9) for x in r["embedding"]] for r in
+          S.kmeans_refine(vecs, 4, dim=4, iters=2).collect()}
+    assert c1 == c2  # replay determinism
+    # trained cells must partition the corpus more evenly than raw
+    # seeds (first-n vectors are nearly collinear for this generator)
+    def cell_sizes(cents_df):
+        assigned = S.ivf_assign(vecs, cents_df)
+        return sorted(
+            r["n"] for r in assigned.groupBy("cell").count()
+            .withColumnRenamed("count", "n").collect()
+        )
+    trained = cell_sizes(S.kmeans_refine(vecs, 4, dim=4, iters=2))
+    assert len(trained) == 4 and min(trained) >= 1
+
+
+def test_ivf_topk_trained_recall_not_worse(vecs):
+    queries = vecs.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(vecs, queries, k=5).collect()}
+    seeded = {(r["query_id"], r["neighbor_id"])
+              for r in S.ivf_topk(vecs, queries, k=5, n_cells=4, nprobe=2).collect()}
+    trained = {(r["query_id"], r["neighbor_id"])
+               for r in S.ivf_topk(vecs, queries, k=5, n_cells=4, nprobe=2,
+                                   train_iters=2, dim=4).collect()}
+    assert len(trained & exact) >= len(seeded & exact)
