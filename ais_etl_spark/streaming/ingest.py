@@ -137,6 +137,8 @@ def run_ingest(
     max_files_per_trigger: int | None = None,
     create_if_missing: bool = True,
     n_buckets: int = 16,
+    maintenance_every: int | None = None,
+    keep_snapshots: int = 3,
 ) -> LakeTable:
     """Run the streaming ingest to completion of currently-available
     data (availableNow trigger) and return the table. Call again with
@@ -152,7 +154,17 @@ def run_ingest(
     duplicates and stale events exactly (they surface as
     ``stale_noops`` in lineage), so exact replay equality holds with
     unbounded lateness. Turn it on only when the source's dup rate
-    justifies trading bounded lateness for shuffle volume."""
+    justifies trading bounded lateness for shuffle volume.
+
+    Maintenance: with ``maintenance_every=N``, every N applied batches
+    the loop compacts small files back to the table's target size and
+    expires all but ``keep_snapshots`` snapshots — the housekeeping a
+    long-running ingest needs so per-batch files and manifests don't
+    accumulate unboundedly (Iceberg's rewrite_data_files +
+    expire_snapshots, run inline because this loop is the single
+    writer). Tombstone GC stays a separate explicit call
+    (``table.gc_tombstones``) because only the operator knows the
+    source's true lateness bound."""
     try:
         table = LakeTable.load(spark, table_path)
     except FileNotFoundError:
@@ -175,10 +187,16 @@ def run_ingest(
             "warc_ts", watermark_delay
         ).dropDuplicatesWithinWatermark(["url", "warc_ts", "op"])
 
+    applied = {"n": 0}
+
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         apply_cdc_batch(
             table, batch_df, batch_id=f"epoch-{epoch_id}", schema_events=schema_events
         )
+        applied["n"] += 1
+        if maintenance_every and applied["n"] % maintenance_every == 0:
+            table.compact()
+            table.expire_snapshots(keep_last=keep_snapshots)
 
     q = (
         stream.writeStream.foreachBatch(_apply)

@@ -125,21 +125,32 @@ def main() -> None:
     )
     ingest = run_ingest_bench(spark, n_events)
 
+    # each query runs twice: first execution pays whole-stage-codegen
+    # compile (hundreds of ms to seconds of fixed cost unrelated to the
+    # data volume); "queries" reports the steady-state (2nd) run — what
+    # a 1000-executor job re-executing the stage thousands of times
+    # actually sees — and "queries_cold" keeps the compile-included run
     queries: dict[str, float] = {}
+    queries_cold: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         for name in QUERY_NAMES:
             fn = contract.QUERIES[name]
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
+            fn(spark, sf_dir).count()
+            queries_cold[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            fn(spark, sf_dir).count()
             queries[name] = round(time.time() - t0, 3)
 
-    total = round(ingest["ingest_sec"] + sum(queries.values()), 3)
+    total = round(
+        ingest["ingest_sec"] + sum(queries.values()) + sum(queries_cold.values()), 3
+    )
     out = {
         "metric": "change-events/sec applied (ingest→committed snapshot)",
         "value": ingest["events_per_sec"],
         "unit": "events/sec",
         "queries": queries,
+        "queries_cold": queries_cold,
         "sf": sf,
         "cores": cores,
         "ingest": ingest,

@@ -82,3 +82,31 @@ def test_text_byte_identical_through_pipeline(spark, tmpdir_path):
     assert rows
     for r in rows:
         assert r.text == extract_text_bytes(bytes(r.html))
+
+
+def test_ingest_with_inline_maintenance(spark, tmpdir_path):
+    """maintenance_every compacts + expires snapshots inside the loop;
+    the final state still equals the full-batch LWW replay and batch
+    replay stays exactly-once across maintenance snapshots."""
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    tbl_dir = os.path.join(tmpdir_path, "tbl")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    feed = synth_cdc_feed(spark, n_events=1500, n_urls=200, seed=11).cache()
+    write_feed_chunks(feed, feed_dir, n_chunks=3)
+
+    table = run_ingest(
+        spark, feed_dir=feed_dir, table_path=tbl_dir, checkpoint_dir=ckpt,
+        max_files_per_trigger=1, maintenance_every=1, keep_snapshots=2,
+    )
+    got = {(r.url, r.text) for r in table.read().collect()}
+    want = {(r.url, r.text) for r in _expected_final(feed).collect()}
+    assert got == want
+    # expiry really ran: only the retained snapshots remain on disk
+    commits = os.listdir(os.path.join(tbl_dir, "_commits"))
+    assert len(commits) <= 2
+    # a resumed run with no new files applies nothing new
+    table2 = run_ingest(
+        spark, feed_dir=feed_dir, table_path=tbl_dir, checkpoint_dir=ckpt,
+        maintenance_every=1,
+    )
+    assert {(r.url, r.text) for r in table2.read().collect()} == want
