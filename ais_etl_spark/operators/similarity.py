@@ -177,6 +177,15 @@ def kmeans_refine(
             "cell",
             F.coalesce(F.col("_nv"), F.col("_pv")).alias("_e"),
         )
+        # materialize the (tiny: n_cells × dim doubles) centroids each
+        # iteration — otherwise every later iteration's lazy plan
+        # re-embeds and RECOMPUTES all earlier ones, and the consumer
+        # (ivf_topk) multiplies that again per reference. This is the
+        # standard lineage cut for iterative algorithms.
+        rows = [(r["cell"], [float(x) for x in r["_e"]]) for r in cents.collect()]
+        cents = corpus.sparkSession.createDataFrame(
+            rows, "cell int, _e array<double>"
+        )
     return cents.select("cell", F.col("_e").alias(vec_col))
 
 
