@@ -3,10 +3,11 @@
 Thin adapter over :mod:`ais_etl_spark.contract`, which holds one
 (spark, sf_dir) -> DataFrame callable per implemented operator from
 SURVEY.md §2 plus the DuckDB oracle SQL twins (same column names, same
-engine-portable arithmetic). Queries without an oracle entry are the
-genuinely non-SQL-expressible ones (engine DDL replay, approximate
-ANN, pandas-UDF-stateful fingerprints) — the driver records the weaker
-rows-only check for those.
+engine-portable arithmetic). The only queries without an oracle entry
+are the genuinely non-SQL-expressible ones — seeded xxhash64 (DuckDB
+has no compatible hash) and the two approximate-ANN variants (recall
+asserted in tests instead) — the driver records the weaker rows-only
+check for those.
 """
 
 from __future__ import annotations

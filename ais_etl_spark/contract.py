@@ -344,7 +344,17 @@ def q_cdc_curated_replay(spark, sf_dir):
     )
 
 
-@_q("cdc_schema_evolution")  # rows-only: DDL replay is not ANSI-SQL-expressible
+@_q(
+    "cdc_schema_evolution",
+    # The DDL mechanics (zero-rewrite, column ids) are unit-tested; the
+    # OBSERVABLE result is SQL-expressible: the final LWW state with
+    # the added-then-renamed column null-backfilled everywhere (no
+    # event ever carries a value for it).
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, lang,
+       CAST(NULL AS DOUBLE) AS quality_score
+FROM win WHERE rn = 1 AND op <> 'D'""",
+)
 def q_cdc_schema_evolution(spark, sf_dir):
     """Schema-evolution replay: merge → fenced add_column →
     merge → rename_column, zero data rewrite; returns the final state
@@ -374,7 +384,41 @@ def q_cdc_schema_evolution(spark, sf_dir):
     )
 
 
-@_q("cdc_lineage")  # rows-only: lineage depends on engine batch/commit ids
+_LINEAGE_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()},
+mid AS (SELECT (min(event_id) + max(event_id)) // 2 AS m FROM cdc),
+b0 AS (SELECT * FROM cdc WHERE event_id <= (SELECT m FROM mid)),
+b1 AS (SELECT * FROM cdc WHERE event_id > (SELECT m FROM mid)),
+w0 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY url
+        ORDER BY warc_ts DESC, event_id DESC) AS rn FROM b0) WHERE rn = 1),
+w1 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY url
+        ORDER BY warc_ts DESC, event_id DESC) AS rn FROM b1) WHERE rn = 1),
+j AS (
+  SELECT w1.url, w1.op,
+         s0.url IS NOT NULL AS has_cur,
+         (s0.url IS NULL
+          OR (w1.warc_ts, w1.event_id) > (s0.warc_ts, s0.event_id)) AS won_new
+  FROM w1 LEFT JOIN w0 s0 ON w1.url = s0.url
+)
+SELECT 'ln-0' AS batch_id, CAST(1 AS BIGINT) AS snapshot_id,
+       CAST((SELECT count(*) FROM b0) AS BIGINT) AS events,
+       CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+       CAST(0 AS BIGINT) AS updates,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+       CAST(0 AS BIGINT) AS stale_noops
+FROM w0
+UNION ALL
+SELECT 'ln-1', CAST(2 AS BIGINT),
+       CAST((SELECT count(*) FROM b1) AS BIGINT),
+       CAST(sum(CASE WHEN won_new AND op <> 'D' AND NOT has_cur
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN won_new AND op <> 'D' AND has_cur
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN won_new AND op = 'D' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN NOT won_new THEN 1 ELSE 0 END) AS BIGINT)
+FROM j"""
+
+
+@_q("cdc_lineage", _LINEAGE_ORACLE)
 def q_cdc_lineage(spark, sf_dir):
     """Per-batch lineage rows (source offset ranges, snapshot id,
     insert/update/delete/stale counts) emitted by the merge commits."""
@@ -421,7 +465,17 @@ def q_cdc_windowed_counts(spark, sf_dir):
     )
 
 
-@_q("cdc_stateful_changelog")  # rows-only: state-store streaming operator
+@_q(
+    "cdc_stateful_changelog",
+    # The feed lands as 4 small files and availableNow processes them
+    # in ONE micro-batch, so the changelog emits exactly one row per
+    # key: its global LWW winner (all ops — deletes emit too). The
+    # multi-batch change-suppression behavior is tested separately
+    # (tests/test_stateful.py exercises cross-batch resume).
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, event_id, op
+FROM win WHERE rn = 1""",
+)
 def q_cdc_stateful_changelog(spark, sf_dir):
     """applyInPandasWithState LWW changelog over the streamed feed:
     emits (url, winner) only when the winner changes across batches."""
