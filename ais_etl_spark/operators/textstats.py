@@ -37,6 +37,20 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "in", "it", "for", "on", "as", "are"]
 # BPE-ish token regex: letter runs, digit runs, single non-space symbol
 BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
+# Python twin of the engine normalizer lower(regexp_replace(trim(text),
+# '\s+', ' ')): Spark's trim strips SPACES only, and Java \s is
+# [ \t\n\x0b\f\r] — NOT Python str.split()'s unicode whitespace
+# (\x1c-\x1f etc. differ: found by a hypothesis property test).
+import re as _re
+
+_JAVA_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def normalize_ws_py(text: str) -> str:
+    """Exact Python equivalent of the JVM/SQL whitespace-normalize +
+    lowercase used by the fingerprint operators."""
+    return _JAVA_WS_RE.sub(" ", text.strip(" ")).lower()
+
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: count distinct marker-word hits per
@@ -134,7 +148,7 @@ def winnow_fingerprint_udf(k: int = 5, window: int = 4):
     def winnow_one(text: str | None) -> list[str] | None:
         if text is None:
             return None
-        s = " ".join(text.lower().split())
+        s = normalize_ws_py(text)
         if len(s) < k:
             return []
         hashes = [

@@ -71,7 +71,9 @@ def curate_one(data: bytes | None) -> dict | None:
         and 2.0 <= mean_wlen <= 12.0
         and punct / max(len(text), 1) <= 0.2
     )
-    norm = " ".join(text.lower().split())
+    from ais_etl_spark.operators.textstats import normalize_ws_py
+
+    norm = normalize_ws_py(text)
     return {
         "text": text,
         "lang": lang,
