@@ -348,66 +348,81 @@ class LakeTable:
 
     def _batch_stats(self, events: DataFrame, key: str, c: dict):
         """Pre-pass over the raw events, column-pruned to key+offset
-        (never the payload), for the three merge inputs:
+        (never the payload), producing the three merge inputs from ONE
+        map-side-combined aggregation (shuffle = at most
+        source_parts × buckets tiny rows):
 
-        1. per-source-partition offset ranges + event counts (lineage)
-           and the set of affected buckets — ONE map-side-combined
-           aggregation, shuffle = a handful of rows per source part;
-        2. the set of HIT FILES — manifest entries whose (bucket, key
-           range) can contain an incoming key; only those files are
-           rewritten. SKIPPED when the manifest has no entries in the
-           touched buckets (e.g. the initial load): everything is a
-           miss by construction. Otherwise one distinct-keys broadcast
-           join — distinct collapses the batch to its key set before
-           the range probe, and a key matching several overlapping
-           ranges flags each file once.
+        1. per-source-partition offset ranges + event counts (lineage);
+        2. the set of affected buckets;
+        3. per-bucket batch key min/max — compared DRIVER-side against
+           the manifest's per-file key ranges to pick the HIT FILES
+           (the only files merge reads and rewrites). Range-overlap is
+           coarser than exact key membership (a sparse batch spanning a
+           bucket flags the files in between too) but never wrong —
+           extra hits cost IO, never correctness — and it removes a
+           whole per-merge Spark job (distinct keys + broadcast range
+           join) from the commit path, which at high core counts cost
+           more in fixed job overhead than the IO it saved. The
+           driver-side comparison also works for ANY orderable key type
+           (collected values and parquet footer stats share the key's
+           Python type) — no hardcoded string schema.
 
         Every key in the batch has a winner, so raw-event buckets ==
         winner buckets."""
         b = self._bucket_expr(F.col(key)).alias("_b")
-        if {"source_part", "offset"} <= set(events.columns):
-            rows = (
-                events.select("source_part", "offset", b)
-                .groupBy("source_part")
-                .agg(
-                    F.min("offset").alias("min_offset"),
-                    F.max("offset").alias("max_offset"),
-                    F.count("*").alias("events"),
-                    F.collect_set("_b").alias("_bset"),
-                )
-                .collect()
-            )
-            touched = sorted({x for r in rows for x in r["_bset"]})
-            offsets = [
-                {k: r[k] for k in ("source_part", "min_offset", "max_offset", "events")}
-                for r in rows
+        has_off = {"source_part", "offset"} <= set(events.columns)
+        if has_off:
+            sel = [F.col(key), b, F.col("source_part"), F.col("offset")]
+            gcols = ["source_part", "_b"]
+            aggs = [
+                F.min("offset").alias("min_offset"),
+                F.max("offset").alias("max_offset"),
+                F.count("*").alias("events"),
+                F.min(key).alias("_kmin"),
+                F.max(key).alias("_kmax"),
             ]
         else:
-            touched = sorted(r[0] for r in events.select(b).distinct().collect())
-            offsets = []
+            sel = [F.col(key), b]
+            gcols = ["_b"]
+            aggs = [
+                F.count("*").alias("events"),
+                F.min(key).alias("_kmin"),
+                F.max(key).alias("_kmax"),
+            ]
+        rows = events.select(*sel).groupBy(*gcols).agg(*aggs).collect()
 
-        candidates = [f for f in c["files"] if f["bucket"] in set(touched)]
-        if not candidates:
-            return touched, offsets, set()
-        fdf = self.spark.createDataFrame(
-            [
-                (e["path"], e["bucket"], e.get("min_key"), e.get("max_key"))
-                for e in candidates
-            ],
-            "_fpath string, _fbucket int, _fmin string, _fmax string",
-        )
-        keys = events.select(F.col(key), b).distinct()
-        cond = (F.col("_fbucket") == F.col("_b")) & (
-            F.col("_fmin").isNull()
-            | ((F.col(key) >= F.col("_fmin")) & (F.col(key) <= F.col("_fmax")))
-        )
-        hit_paths = {
-            r[0]
-            for r in keys.join(F.broadcast(fdf), cond)
-            .select("_fpath")
-            .distinct()
-            .collect()
-        }
+        touched = sorted({r["_b"] for r in rows})
+        offsets = []
+        if has_off:
+            by_part: dict[int, dict] = {}
+            for r in rows:
+                o = by_part.get(r["source_part"])
+                if o is None:
+                    by_part[r["source_part"]] = {
+                        "source_part": r["source_part"],
+                        "min_offset": r["min_offset"],
+                        "max_offset": r["max_offset"],
+                        "events": r["events"],
+                    }
+                else:
+                    o["min_offset"] = min(o["min_offset"], r["min_offset"])
+                    o["max_offset"] = max(o["max_offset"], r["max_offset"])
+                    o["events"] += r["events"]
+            offsets = [by_part[p] for p in sorted(by_part)]
+
+        ranges: dict[int, tuple] = {}
+        for r in rows:
+            lo, hi = ranges.get(r["_b"], (r["_kmin"], r["_kmax"]))
+            ranges[r["_b"]] = (min(lo, r["_kmin"]), max(hi, r["_kmax"]))
+        hit_paths = set()
+        for f in c["files"]:
+            rng = ranges.get(f["bucket"])
+            if rng is None:
+                continue
+            fmin, fmax = f.get("min_key"), f.get("max_key")
+            # None stats = unknown range = always hit (conservative)
+            if fmin is None or not (fmax < rng[0] or fmin > rng[1]):
+                hit_paths.add(f["path"])
         return touched, offsets, hit_paths
 
     def _merge_winners(
