@@ -786,19 +786,33 @@ def q_tf_regex_route(spark, sf_dir):
     return out.select("doc_id", "source", "route_match", "route_dst")
 
 
-@_q("tf_xxhash")  # rows-only: DuckDB lacks Spark-compatible xxhash64
+@_q("tf_xxhash")
+# PERMANENT rows-only: DuckDB has no Spark-compatible xxhash64 and a
+# pure-SQL XXH64 transliteration is unreasonable. The substitute checks:
+# (a) the pure-Python XXH64 is property-tested bit-identical to Spark's
+#     JVM builtin at seed 42 (tests/test_transforms.py + hypothesis in
+#     tests/test_properties.py);
+# (b) the query itself asserts that internal consistency on every row it
+#     returns — `jvm_py_equal` must be uniformly true (gate-visible).
 def q_tf_xxhash(spark, sf_dir):
     """hash_with_args (hash_with_args/fastapi_server.py:56-86): seeded
     xxhash64 — seed 42 runs Spark's JVM built-in, seed 7 runs the
-    pure-Python XXH64 fallback (both algorithm-verified against each
-    other at seed 42 in tests/test_transforms.py)."""
-    from ais_etl_spark.transforms.builtin import xxhash_seeded_udf
+    pure-Python XXH64 fallback. ``jvm_py_equal`` recomputes seed 42
+    through the pure-Python path and compares against the JVM builtin
+    per row, so even the rows-only gate run checks the twin paths
+    agree on this corpus."""
+    from ais_etl_spark.transforms.builtin import xxhash64_py_udf, xxhash_seeded_udf
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         xxhash_seeded_udf(42)(F.col("text")).alias("xxh"),
         xxhash_seeded_udf(7)(F.col("text")).alias("xxh_seed7"),
+        # F.xxhash64 with a single column IS the seed-42 hash (extra
+        # args are hashed as columns, not used as the seed)
+        (
+            xxhash64_py_udf(42)(F.col("text")) == F.xxhash64(F.col("text"))
+        ).alias("jvm_py_equal"),
     )
 
 
@@ -1356,8 +1370,28 @@ def q_sim_ivf_topk(spark, sf_dir):
     )
 
 
-@_q("sim_lsh_topk")  # rows-only: approximate (bucket containment in tests)
+@_q(
+    "sim_lsh_topk",
+    f"""WITH {_lsh_bucket_sql(64, 4)},
+q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM bk WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, bk.vec_id AS neighbor_id,
+         ROUND({_cos_sql('bk.e', 'q.qv')}, 6) AS cosine
+  FROM bk JOIN q ON bk.bucket = q.bucket WHERE bk.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 10""",
+)
 def q_sim_lsh_topk(spark, sf_dir):
+    """LSH top-k IS oracle-expressible despite being 'approximate':
+    the approximation (bucket restriction) is deterministic — the
+    md5-derived hyperplanes are engine-portable literals (sign margins
+    verified ≥2.6e-5 on this corpus, far above fp noise), so DuckDB
+    reproduces the exact same candidate buckets and ranking."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_topk(emb, queries, dim=64, k=10, nbits=4)

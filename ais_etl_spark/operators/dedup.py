@@ -237,7 +237,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     if candidates is not None:
-        inter = inter.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+        # no broadcast hint: the candidate set grows with the corpus, so
+        # forcing it OOMs above the broadcast threshold at scale. AQE
+        # still picks broadcast when the actual size is small.
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     inter = inter.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
 
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))

@@ -121,19 +121,24 @@ def ivf_assign(
 def seed_centroids(
     corpus: DataFrame, n_cells: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """Deterministic centroids: the ``n_cells`` lowest-id vectors.
-    Cell ids come from an explicit row_number window over the id —
-    NOT monotonically_increasing_id after a limit, whose id/sort-order
-    correspondence is an implementation accident. n_cells rows: the
-    single-partition window is free."""
-    w = Window.orderBy(id_col)
-    return (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(w) - 1).cast("int").alias("cell"),
-            F.col(vec_col),
+    """Deterministic centroids: the ``n_cells`` lowest-id vectors,
+    fetched once via TakeOrderedAndProject (bounded by n_cells) and
+    returned as a literal DataFrame. Collecting driver-side instead of
+    numbering with a global window means no single-partition WindowExec
+    and no recompute per downstream action — every consumer sees a
+    plan-free constant, the same lineage cut kmeans_refine applies per
+    iteration."""
+    rows = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e")
         )
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    data = [(i, [float(x) for x in r["_e"]]) for i, r in enumerate(rows)]
+    return corpus.sparkSession.createDataFrame(
+        data, f"cell int, {vec_col} array<double>"
     )
 
 

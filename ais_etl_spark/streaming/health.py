@@ -99,7 +99,11 @@ class HealthListener(StreamingQueryListener):
         out = {}
         with self._lock:
             for qid, st in self._state.items():
-                last = st.get("last_progress_at")
+                # no progress yet → measure staleness from query start,
+                # so a query that wedges before its first batch (the
+                # init-timeout case the probe is modeled on) goes
+                # unhealthy after stale_after_s instead of never
+                last = st.get("last_progress_at") or st.get("started_at")
                 stale = last is not None and (now - last) > self.stale_after_s
                 out[qid] = {
                     **st,

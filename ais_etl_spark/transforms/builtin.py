@@ -192,6 +192,26 @@ def xxhash_seeded_udf(seed: int):
     return lambda col: hasher(col)
 
 
+def xxhash64_py_udf(seed: int):
+    """Pure-Python XXH64 emitted as SIGNED int64 — the JVM builtin's
+    output domain — so ``xxhash64_py_udf(42)(c) == F.xxhash64(c)`` is a
+    row-level parity assertion between the two implementations (used by
+    the ``tf_xxhash`` gate query)."""
+    from pyspark.sql.types import LongType
+
+    def one(b):
+        if b is None:
+            return None
+        u = xxhash64_py(_as_bytes(b), seed)
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    @pandas_udf(LongType())
+    def hasher(data: pd.Series) -> pd.Series:
+        return data.map(one)
+
+    return lambda col: hasher(col)
+
+
 # --------------------------------------------------------------------------
 # Registered DataFrame-level transforms (name → fn(df, **params) -> df)
 # --------------------------------------------------------------------------

@@ -73,6 +73,59 @@ def test_ngram_jaccard_with_candidates(docs, spark):
     assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
 
 
+def test_ngram_lsh_recall_on_gate_corpus(spark):
+    """The gate's dedup_ngram_jaccard hash-matches an EXACT all-pairs
+    oracle while generating candidates via banded MinHash-LSH, whose
+    recall is probabilistic. This pins the completeness assumption to
+    the corpus the gate actually runs: every exact Jaccard>=0.5 pair
+    must be an LSH(k=16, b=4) candidate — a corpus/seed change that
+    breaks it fails HERE, not silently in the gate."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("gate corpus absent")
+    docs = spark.read.parquet(path)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3).collect()
+    }
+    assert exact <= cand, f"LSH missed exact pairs: {sorted(exact - cand)[:10]}"
+
+
+def test_ngram_candidates_join_survives_no_broadcast(spark, docs):
+    """The candidate semi-join must stay an equi-join (shuffled hash /
+    sort-merge) with broadcast disabled — the 100 TB case where the
+    candidate set exceeds any broadcast threshold. Same rows, no
+    CartesianProduct/BroadcastNestedLoopJoin in the executed plan."""
+    import contextlib
+    import io
+
+    cand = D.minhash_lsh_pairs(docs, k=8, bands=4)
+    baseline = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3, candidates=cand).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = D.ngram_jaccard_pairs(docs, threshold=0.3, candidates=cand)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == baseline
+
+
 def test_simhash_builtin_matches_python(docs):
     got = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
     for doc_id, text in DOCS:
