@@ -317,13 +317,11 @@ SELECT w.url, epoch_ms(w.warc_ts) AS warc_ts_ms, w.text, w.lang,
 FROM w JOIN sim ON w.url = sim.url"""
 
 
-@_q("cdc_curated_replay", _CURATED_REPLAY_ORACLE)
-def q_cdc_curated_replay(spark, sf_dir):
-    """FULL-PIPELINE ENGINE CHECK: gzip-html events merged into a
-    curated lake table (one Arrow pass computes text, lang, simhash,
-    token count, fingerprint, quality per winner) — the final committed
-    state must match an ANSI-SQL replay that recomputes every curation
-    statistic from scratch."""
+def _build_curated_table(spark, sf_dir) -> "LakeTable":
+    """Shared by the curated-replay and curated-dedup checks: gzip-html
+    events merged (two ordered batches) into a curated lake table — one
+    Arrow pass per batch computes text, lang, simhash, token count,
+    fingerprint, quality for each winning key."""
     from ais_etl_spark.transforms.curate import CURATED_PAGES_SCHEMA, curate_events
 
     feed = _feed_with_html(spark, sf_dir)
@@ -338,6 +336,17 @@ def q_cdc_curated_replay(spark, sf_dir):
                 post_dedup_transform=curate_events)
     table.merge(feed.filter(F.col("event_id") > mid), "cu-1",
                 post_dedup_transform=curate_events)
+    return table
+
+
+@_q("cdc_curated_replay", _CURATED_REPLAY_ORACLE)
+def q_cdc_curated_replay(spark, sf_dir):
+    """FULL-PIPELINE ENGINE CHECK: gzip-html events merged into a
+    curated lake table (one Arrow pass computes text, lang, simhash,
+    token count, fingerprint, quality per winner) — the final committed
+    state must match an ANSI-SQL replay that recomputes every curation
+    statistic from scratch."""
+    table = _build_curated_table(spark, sf_dir)
     return table.read().select(
         "url", _ms("warc_ts").alias("warc_ts_ms"), "text", "lang",
         "simhash", "n_tokens", "fingerprint", "quality_keep",
@@ -1216,6 +1225,56 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     hash-matches it because banded MinHash at (k=16, b=4) is verified
     to cover every Jaccard≥0.5 pair of this corpus (sf0.01 and sf0.1)."""
     docs = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
+    return D.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.5, candidates=cand
+    )
+
+
+_CURATED_DEDUP_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN},
+w AS (SELECT url AS doc_id, text FROM win WHERE rn = 1 AND op <> 'D'),
+csh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM w),
+mh AS (
+  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+  FROM csh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) tj
+  GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS sig
+  FROM mh GROUP BY doc_id, j // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+), dsh AS (SELECT DISTINCT doc_id, s FROM csh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"""
+
+
+@_q("cdc_curated_dedup", _CURATED_DEDUP_ORACLE)
+def q_cdc_curated_dedup(spark, sf_dir):
+    """THE FULL LLM-PIPELINE STORY IN ONE ORACLE: stream the CDC feed
+    through the engine into the curated lake table, then run near-dup
+    detection — banded MinHash-LSH candidates → exact n-gram Jaccard
+    verify — over the CURATED committed text (not a static input
+    table). Proves the engine's output feeds the curation operators
+    unchanged. The oracle replays the identical chain in ANSI SQL:
+    unlike dedup_ngram_jaccard (exact oracle + recall assumption), the
+    candidate restriction here is part of BOTH sides — the LSH bands
+    are deterministic md5 constructs, so candidate generation is
+    exactly reproducible with no probabilistic assumption."""
+    table = _build_curated_table(spark, sf_dir)
+    docs = table.read().select(F.col("url").alias("doc_id"), "text")
     cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
     return D.ngram_jaccard_pairs(
         docs, shingle_n=3, threshold=0.5, candidates=cand

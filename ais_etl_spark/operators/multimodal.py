@@ -85,39 +85,59 @@ def _has_pil() -> bool:
 
 
 def _decode_image_features_real(payload: bytes, dim: int) -> list[float]:
-    """Real decode path (used automatically when PIL is installed;
-    tested behind a skipif marker in tests/test_multimodal.py):
-    decode → grayscale → dim×dim resize → per-row mean intensity."""
-    if not _has_pil():  # pragma: no cover - lib absent in sandbox
-        raise NotImplementedError(
-            "image decode requires PIL (not installed); "
-            "use fake_decode=True for the deterministic test path"
-        )
-    import io
+    """Real decode path: decode → grayscale → dim×dim resize → per-row
+    mean intensity. PIL when installed; otherwise the pure-stdlib
+    baseline-PNG codec (operators/png.py) handles PNG payloads, so ONE
+    real decode leg runs and is oracle-checked even in this codec-free
+    sandbox. Non-PNG without PIL stays a clearly-marked
+    NotImplementedError (JPEG entropy coding is out of scope)."""
+    if _has_pil():  # pragma: no cover - lib absent in sandbox
+        import io
 
-    from PIL import Image  # noqa: PLC0415
+        from PIL import Image  # noqa: PLC0415
 
-    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
-    px = list(img.getdata())
-    return [sum(px[r * dim : (r + 1) * dim]) / (dim * 255.0) for r in range(dim)]
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
+        px = list(img.getdata())
+        return [sum(px[r * dim : (r + 1) * dim]) / (dim * 255.0) for r in range(dim)]
+    if bytes(payload[:4]) == _PNG_MAGIC:
+        from ais_etl_spark.operators import png
+
+        w, h, ch, rows = png.decode_png(bytes(payload))
+        gray = png.to_gray(w, ch, rows)
+        small = png.resize_box(w, h, 1, gray, dim, dim)
+        return [sum(r) / (dim * 255.0) for r in small]
+    raise NotImplementedError(
+        "non-PNG image decode requires PIL (not installed); "
+        "use fake_decode=True for the deterministic test path"
+    )
 
 
 def _resize_image_real(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize (PIL-if-present), preserving the source format."""
-    if not _has_pil():  # pragma: no cover - lib absent in sandbox
-        raise NotImplementedError(
-            "image resize requires PIL (not installed); "
-            "use fake_decode=True for the deterministic test path"
+    """Real resize, preserving the source format: PIL when installed,
+    else the stdlib PNG codec (decode → box resample → re-encode) for
+    PNG payloads — the tar2tf Resize analog on actual pixels
+    (/root/reference/transformers/tar2tf/src/transforms/job.go:146-164)."""
+    if _has_pil():  # pragma: no cover - lib absent in sandbox
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(payload))
+        fmt = img.format or "PNG"
+        out = io.BytesIO()
+        img.resize((width, height)).save(out, format=fmt)
+        return out.getvalue()
+    if bytes(payload[:4]) == _PNG_MAGIC:
+        from ais_etl_spark.operators import png
+
+        w, h, ch, rows = png.decode_png(bytes(payload))
+        return png.encode_png(
+            width, height, ch, png.resize_box(w, h, ch, rows, width, height)
         )
-    import io
-
-    from PIL import Image  # noqa: PLC0415
-
-    img = Image.open(io.BytesIO(payload))
-    fmt = img.format or "PNG"
-    out = io.BytesIO()
-    img.resize((width, height)).save(out, format=fmt)
-    return out.getvalue()
+    raise NotImplementedError(
+        "non-PNG image resize requires PIL (not installed); "
+        "use fake_decode=True for the deterministic test path"
+    )
 
 
 def _fake_image_features(payload: bytes, dim: int) -> list[float]:

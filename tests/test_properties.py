@@ -127,6 +127,137 @@ def test_xxhash_udf_matches_pure_python(spark, payloads, seed):
         assert got[i] == f"{xxhash64_py(p, seed):016x}"
 
 
+_kts = st.tuples(
+    st.integers(min_value=0, max_value=4),    # key id
+    st.integers(min_value=0, max_value=20),   # ts offset (collisions likely)
+)
+
+
+@given(
+    st.lists(_kts, min_size=0, max_size=25),  # states
+    st.lists(_kts, min_size=1, max_size=25),  # probes
+)
+@settings(max_examples=6, deadline=None)
+def test_asof_join_matches_python_reference(spark, states_raw, probes_raw):
+    """asof_join (union-sort formulation) == per-probe python scan:
+    latest state with state_ts <= probe_ts per key, INCLUSIVE at equal
+    timestamps, nulls when no state precedes. Exercises ts collisions
+    between states and probes and between probes."""
+    from ais_etl_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    # contract: states unique per (key, ts) — dedup the generated list
+    states = {(k, ts): f"s{k}:{ts}" for k, ts in states_raw}
+    srows = [
+        (f"u{k}", t0 + dt.timedelta(seconds=ts), payload)
+        for (k, ts), payload in sorted(states.items())
+    ]
+    prows = [
+        (i, f"u{k}", t0 + dt.timedelta(seconds=ts))
+        for i, (k, ts) in enumerate(probes_raw)
+    ]
+    sdf = spark.createDataFrame(srows, "url string, warc_ts timestamp, text string")
+    pdf = spark.createDataFrame(prows, "probe_id long, url string, ts timestamp")
+    got = {
+        r.probe_id: (r.asof_ts, r.text)
+        for r in asof_join(pdf, sdf, key="url", probe_ts="ts", state_ts="warc_ts").collect()
+    }
+    assert len(got) == len(prows)  # every probe survives, matched or not
+    for pid, (k, ts) in enumerate(probes_raw):
+        cands = [(s_ts, p) for (kk, s_ts), p in states.items() if kk == k and s_ts <= ts]
+        if cands:
+            best_ts, best_payload = max(cands)
+            assert got[pid] == (t0 + dt.timedelta(seconds=best_ts), best_payload)
+        else:
+            assert got[pid] == (None, None)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # key id
+                st.integers(min_value=0, max_value=30),  # ts offset
+                st.sampled_from(["I", "U", "D"]),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=5, deadline=None)
+def test_changes_matches_snapshot_diff_property(spark, batches, do_compact):
+    """The incremental changelog must equal the logical diff of the two
+    snapshots it spans, for arbitrary merge sequences (duplicate
+    timestamps, stale events, deletes, resurrections) and interleaved
+    compaction — checked for every adjacent snapshot pair AND the full
+    (first, last) span."""
+    import shutil
+    import tempfile
+
+    from ais_etl_spark.lake import LakeTable
+
+    t0 = dt.datetime(2026, 1, 1)
+    tmp = tempfile.mkdtemp(prefix="prop-changes-")
+    try:
+        table = LakeTable.create(
+            spark,
+            tmp + "/t",
+            [("url", "string"), ("warc_ts", "timestamp"), ("text", "string")],
+            key="url",
+            order_col="warc_ts",
+            n_buckets=4,
+        )
+        eid = 0
+        snaps = [table.current_snapshot_id()]
+        for bi, batch in enumerate(batches):
+            rows = []
+            for k, ts, op in batch:
+                rows.append(
+                    (eid, op, f"u{k}", t0 + dt.timedelta(seconds=ts),
+                     None if op == "D" else f"t{eid}")
+                )
+                eid += 1
+            df = spark.createDataFrame(
+                rows,
+                "event_id long, op string, url string, warc_ts timestamp, text string",
+            )
+            table.merge(df, batch_id=f"b{bi}")
+            snaps.append(table.current_snapshot_id())
+            if do_compact and bi == 0:
+                table.compact()
+                snaps.append(table.current_snapshot_id())
+
+        def snap_rows(s):
+            return {
+                r.url: (bool(r["_deleted"]), r.warc_ts, r["_seq"], r.text)
+                for r in table.read(s, include_internal=True).collect()
+            }
+
+        pairs = list(zip(snaps, snaps[1:])) + [(snaps[0], snaps[-1])]
+        for s0, s1 in pairs:
+            old, new = snap_rows(s0), snap_rows(s1)
+            expect = {}
+            for k, (dead, ts, seq, text) in new.items():
+                o = old.get(k)
+                if not dead and (o is None or o[0]):
+                    expect[k] = ("insert", ts, text)
+                elif not dead and (o[1], o[2]) != (ts, seq):
+                    expect[k] = ("update", ts, text)
+                elif dead and o is not None and not o[0]:
+                    expect[k] = ("delete", ts, text)
+            got = {
+                r.url: (r.change_type, r.warc_ts, r.text)
+                for r in table.changes(s0, s1).collect()
+            }
+            assert got == expect, (s0, s1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=10))
 @settings(max_examples=6, deadline=None)
 def test_fingerprint_matches_python_oracle(spark, texts):
