@@ -847,6 +847,60 @@ def q_tf_spec_pipeline(spark, sf_dir):
     return compile_pipeline(d, spec)
 
 
+# tf_raster_pipeline oracle: the input PNG's pixels are a pure formula
+# of doc_id (raster.synth_png_udf: in[y][x] = (doc_id*31 + y*8 + x) %
+# 256), so SQL can follow the whole REAL raster chain analytically:
+# rot90cw out[r][c] = in[7-c][r]; 4x4 box resample = floor(mean of each
+# 2x2 cell); emitted value = per-scanline sum of the final image. Spark
+# actually encodes, decodes, rotates, resamples, and re-decodes PNG
+# bytes — the oracle only shadows the arithmetic.
+def _raster_row_sum_sql(Y: int) -> str:
+    cells = []
+    for X in range(4):
+        terms = [
+            f"((doc_id*31 + {(7 - (2 * X + dx)) * 8 + (2 * Y + dy)}) % 256)"
+            for dx in (0, 1)
+            for dy in (0, 1)
+        ]
+        cells.append(f"(({' + '.join(terms)}) // 4)")
+    return f"CAST({' + '.join(cells)} AS BIGINT)"
+
+
+@_q(
+    "tf_raster_pipeline",
+    "SELECT doc_id, "
+    + ", ".join(f"{_raster_row_sum_sql(Y)} AS r{Y}" for Y in range(4))
+    + " FROM documents",
+)
+def q_tf_raster_pipeline(spark, sf_dir):
+    """tar2tf raster conversions on ACTUAL pixels (tar2tf/src/
+    transforms/job.go:127-164 Decode/Rotate/Resize): synthesize a
+    deterministic 8x8 PNG per doc, then run the spec-compiled chain
+    rotate(90) → box-resize(4x4) → per-scanline sums, all through real
+    PNG encode/decode (operators/png.py). Hash-checked against a pure
+    arithmetic oracle on the pixel formula."""
+    from ais_etl_spark.transforms import raster
+    from ais_etl_spark.transforms.spec import compile_pipeline
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("payload", raster.synth_png_udf(8)(F.col("doc_id")))
+    out = compile_pipeline(
+        d,
+        [
+            {"op": "img_rotate", "angle": 90},
+            {"op": "img_resize", "width": 4, "height": 4},
+            {"op": "img_row_sums"},
+        ],
+    )
+    return out.select(
+        "doc_id",
+        *[
+            F.element_at("row_sums", Y + 1).cast("bigint").alias(f"r{Y}")
+            for Y in range(4)
+        ],
+    )
+
+
 @_q(
     "tf_slice_args",
     """SELECT doc_id,
