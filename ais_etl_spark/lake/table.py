@@ -60,6 +60,7 @@ from ais_etl_spark.operators.lww import lww_latest
 _COMMITS = "_commits"
 _DATA = "data"
 _LINEAGE = "_lineage"
+_QUARANTINE = "_quarantine"
 
 # internal physical columns present in every data file
 _SEQ = "_seq"        # event_id of the writing event (LWW tiebreak vs future events)
@@ -199,7 +200,12 @@ class LakeTable:
         cols = [dict(x) for x in self.schema_cols(c)]
         if any(x["name"] == name for x in cols):
             raise ValueError(f"column {name!r} exists")
-        next_id = max((x["id"] for x in cols), default=-1) + 1
+        # allocate over ALL schema versions, not just the current one —
+        # re-adding a dropped column must get a fresh id, or old file
+        # bytes would resurrect under the new name
+        next_id = max(
+            (x["id"] for sc in c["schemas"] for x in sc), default=-1
+        ) + 1
         cols.append({"id": next_id, "name": name, "type": col_type})
         return self._commit_schema_change(c, cols, f"add_column:{name}")
 
@@ -214,6 +220,21 @@ class LakeTable:
             raise ValueError(f"no column {old!r}")
         hit[0]["name"] = new
         return self._commit_schema_change(c, cols, f"rename_column:{old}->{new}")
+
+    def alter_drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN (Iceberg semantics): the column
+        leaves the current schema; data files keep their bytes and
+        column ids, so time travel to pre-drop snapshots still sees it
+        and a later re-add gets a FRESH id (never resurrects old
+        values)."""
+        c = dict(self.commit())
+        cols = [dict(x) for x in self.schema_cols(c)]
+        if name in (c["key"], c["order_col"]):
+            raise ValueError(f"cannot drop key/order column {name!r}")
+        keep = [x for x in cols if x["name"] != name]
+        if len(keep) == len(cols):
+            raise ValueError(f"no column {name!r}")
+        return self._commit_schema_change(c, keep, f"drop_column:{name}")
 
     def _commit_schema_change(self, parent: dict, cols: list[dict], op: str) -> int:
         commit = dict(parent)
@@ -286,6 +307,71 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def history(self) -> DataFrame:
+        """Snapshot-history metadata table (Iceberg's ``snapshots``/
+        ``history`` analog): one row per retained commit with
+        operation, batch id, schema version, file count, and the merge
+        counters. Driver-side from the commit JSONs — bounded by the
+        retained snapshot count (expire_snapshots caps it)."""
+        d = os.path.join(self.path, _COMMITS)
+        snaps = sorted(
+            int(f[1:-5]) for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        rows = []
+        for s in snaps:
+            c = self.commit(s)
+            ln = c.get("lineage") or {}
+            rows.append(
+                (
+                    c["snapshot_id"],
+                    c.get("parent"),
+                    c.get("operation"),
+                    c.get("batch_id"),
+                    c["schema_version"],
+                    len(c.get("files", [])),
+                    *[ln.get(k) for k in ("inserts", "updates", "deletes",
+                                          "stale_noops", "rows_after")],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, parent bigint, operation string, "
+            "batch_id string, schema_version int, n_files int, "
+            "inserts bigint, updates bigint, deletes bigint, "
+            "stale_noops bigint, rows_after bigint",
+        )
+
+    # ------------------------------------------------------------------
+    # point lookup (the inline-GET analog: read ONE object through the
+    # table — /root/reference/runtime/README.md:61-76's hpull, but the
+    # "object store" is the manifest-pruned lake)
+    # ------------------------------------------------------------------
+
+    def lookup(self, key_value: str) -> DataFrame:
+        """Point read of one key: bucket computed DRIVER-side with the
+        pure-Python XXH64 twin (bit-identical to the JVM xxhash64 the
+        writer bucketed with), then manifest-pruned to the files of
+        that bucket whose key range covers the value. At 100 TB this
+        touches one file per live version of the key — never a scan.
+        Tombstoned/absent keys return an empty DataFrame."""
+        from ais_etl_spark.transforms.builtin import xxhash64_py
+
+        c = self.commit()
+        u = xxhash64_py(key_value.encode("utf-8"), 42)
+        signed = u - (1 << 64) if u >= (1 << 63) else u
+        bucket = signed % c["n_buckets"]  # python % == Spark pmod on ints
+        hits = [
+            f for f in c["files"]
+            if f["bucket"] == bucket
+            and (
+                f.get("min_key") is None
+                or f["min_key"] <= key_value <= f["max_key"]
+            )
+        ]
+        out = self._entries_df(c, hits).filter(F.col(c["key"]) == key_value)
+        return out.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
+
     # ------------------------------------------------------------------
     # MERGE (the CDC apply)
     # ------------------------------------------------------------------
@@ -330,23 +416,40 @@ class LakeTable:
             if col not in events.columns:
                 raise ValueError(f"events missing required column {col!r}")
 
+        # malformed events (dead-letter policy, the skip-and-count of
+        # audio_manager fastapi_server.py:101-119,197-206): excluded
+        # from the merge, counted in lineage, preserved in _quarantine
+        bad = (
+            F.col(key).isNull()
+            | F.col(order_col).isNull()
+            | F.col("event_id").isNull()
+            | ~F.col("op").isin("I", "U", "D")
+        )
+        touched, offsets, hit_paths, malformed = self._batch_stats(
+            events, key, c, bad
+        )
+        valid = events
+        if malformed:
+            self._write_quarantine(events.filter(bad), batch_id)
+            valid = events.filter(~bad)
+
         # 1. batch-local LWW (one row per key; combiner absorbs skew),
         #    BEFORE the expensive payload transform. NOT materialized —
         #    it fuses into the single write job below.
         payload_in = [p for p in payload_names if p in events.columns]
-        ev = events.select(
+        ev = valid.select(
             key, order_col, F.col("event_id").alias(_SEQ), "op", *payload_in
         )
         winners = lww_latest(
             ev, key=key, order_cols=(order_col, _SEQ),
             payload_cols=["op", *payload_in],
         )
-        touched, offsets, hit_paths = self._batch_stats(events, key, c)
         return self._merge_winners(
-            c, winners, batch_id, touched, hit_paths, post_dedup_transform, offsets
+            c, winners, batch_id, touched, hit_paths, post_dedup_transform,
+            offsets, malformed,
         )
 
-    def _batch_stats(self, events: DataFrame, key: str, c: dict):
+    def _batch_stats(self, events: DataFrame, key: str, c: dict, bad):
         """Pre-pass over the raw events, column-pruned to key+offset
         (never the payload), producing the three merge inputs from ONE
         map-side-combined aggregation (shuffle = at most
@@ -372,8 +475,8 @@ class LakeTable:
         b = self._bucket_expr(F.col(key)).alias("_b")
         has_off = {"source_part", "offset"} <= set(events.columns)
         if has_off:
-            sel = [F.col(key), b, F.col("source_part"), F.col("offset")]
-            gcols = ["source_part", "_b"]
+            sel = [F.col(key), b, bad.alias("_bad"), F.col("source_part"), F.col("offset")]
+            gcols = ["source_part", "_b", "_bad"]
             aggs = [
                 F.min("offset").alias("min_offset"),
                 F.max("offset").alias("max_offset"),
@@ -382,20 +485,24 @@ class LakeTable:
                 F.max(key).alias("_kmax"),
             ]
         else:
-            sel = [F.col(key), b]
-            gcols = ["_b"]
+            sel = [F.col(key), b, bad.alias("_bad")]
+            gcols = ["_b", "_bad"]
             aggs = [
                 F.count("*").alias("events"),
                 F.min(key).alias("_kmin"),
                 F.max(key).alias("_kmax"),
             ]
-        rows = events.select(*sel).groupBy(*gcols).agg(*aggs).collect()
+        all_rows = events.select(*sel).groupBy(*gcols).agg(*aggs).collect()
+        malformed = sum(r["events"] for r in all_rows if r["_bad"])
+        rows = [r for r in all_rows if not r["_bad"]]
 
         touched = sorted({r["_b"] for r in rows})
         offsets = []
         if has_off:
             by_part: dict[int, dict] = {}
-            for r in rows:
+            # offset ranges cover EVERY consumed event, malformed
+            # included — lineage records source progress, not validity
+            for r in all_rows:
                 o = by_part.get(r["source_part"])
                 if o is None:
                     by_part[r["source_part"]] = {
@@ -423,10 +530,27 @@ class LakeTable:
             # None stats = unknown range = always hit (conservative)
             if fmin is None or not (fmax < rng[0] or fmin > rng[1]):
                 hit_paths.add(f["path"])
-        return touched, offsets, hit_paths
+        return touched, offsets, hit_paths, malformed
+
+    def _write_quarantine(self, bad_events: DataFrame, batch_id: str) -> None:
+        """Dead-letter sink: preserve malformed events row-for-row for
+        inspection/replay. Overwrite-per-batch keeps epoch replays
+        idempotent. Costs a Spark job only when malformed rows exist."""
+        d = os.path.join(self.path, _QUARANTINE, f"batch={batch_id}")
+        bad_events.write.mode("overwrite").parquet(d)
+
+    def quarantine(self) -> DataFrame:
+        """All quarantined events with their ``batch`` partition
+        column; empty single-column frame when nothing was ever
+        quarantined."""
+        p = os.path.join(self.path, _QUARANTINE)
+        if not os.path.isdir(p):
+            return self.spark.createDataFrame([], "batch string")
+        return self.spark.read.option("basePath", p).parquet(p)
 
     def _merge_winners(
-        self, c, winners, batch_id, touched, hit_paths, post_dedup_transform, offsets
+        self, c, winners, batch_id, touched, hit_paths, post_dedup_transform,
+        offsets, malformed: int = 0,
     ) -> dict:
         key = c["key"]
         order_col = c["order_col"]
@@ -529,6 +653,7 @@ class LakeTable:
             "files_written": len(new_files),
             "files_carried": len(carry),
             "source_offsets": offsets,
+            "malformed": int(malformed),
             **{k: int(v or 0) for k, v in counts.items()},
         }
         commit = {
@@ -834,6 +959,7 @@ class LakeTable:
                 "updates": lineage["updates"],
                 "deletes": lineage["deletes"],
                 "stale_noops": lineage["stale_noops"],
+                "malformed": lineage.get("malformed", 0),
             }
             for o in (offsets or [{"source_part": -1, "min_offset": -1,
                                    "max_offset": -1, "events": 0}])
@@ -856,6 +982,7 @@ class LakeTable:
                 ("updates", pa.int64()),
                 ("deletes", pa.int64()),
                 ("stale_noops", pa.int64()),
+                ("malformed", pa.int64()),
             ]
         )
         tbl = pa.Table.from_pylist(rows, schema=schema)
@@ -870,6 +997,7 @@ class LakeTable:
                 [],
                 "batch_id string, snapshot_id bigint, source_part int, "
                 "min_offset bigint, max_offset bigint, events bigint, "
-                "inserts bigint, updates bigint, deletes bigint, stale_noops bigint",
+                "inserts bigint, updates bigint, deletes bigint, "
+                "stale_noops bigint, malformed bigint",
             )
         return self.spark.read.parquet(p)

@@ -206,3 +206,76 @@ def test_compact_merges_small_files(spark, tmpdir_path):
     assert tbl.changes(tbl.commit()["parent"]).count() == 0
     # batch replay still idempotent across the compact snapshot
     assert tbl.merge(ev(spark, [(0, "I", "u0-0", T(0), "x")]), "b0") == {}
+
+
+def test_lookup_point_read(spark, tbl):
+    rows = [(i, "I", f"u{i}", T(i), f"t{i}") for i in range(40)]
+    tbl.merge(ev(spark, rows), "b1")
+    got = tbl.lookup("u17").collect()
+    assert len(got) == 1 and got[0].text == "t17"
+    # pruning: the point read plans over a strict subset of the files
+    c = tbl.commit()
+    assert 0 < len([f for f in c["files"] if f["bucket"] is not None])
+    # a tombstoned key returns empty
+    tbl.merge(ev(spark, [(100, "D", "u17", T(100), None)]), "b2")
+    assert tbl.lookup("u17").count() == 0
+    assert tbl.lookup("never-written").count() == 0
+
+
+def test_lookup_bucket_parity_with_writer(spark, tbl):
+    """The driver-side XXH64 bucket must equal the JVM bucket the
+    writer used — for every key, lookup() must find the row."""
+    rows = [(i, "I", f"https://site-{i}.example.com/p/{i}", T(i), f"t{i}")
+            for i in range(25)]
+    tbl.merge(ev(spark, rows), "b1")
+    for i in (0, 7, 13, 24):
+        url = f"https://site-{i}.example.com/p/{i}"
+        got = tbl.lookup(url).collect()
+        assert len(got) == 1 and got[0].text == f"t{i}", url
+
+
+def test_history_metadata_table(spark, tbl):
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a")]), "b1")
+    tbl.merge(ev(spark, [(2, "U", "u1", T(2), "b")]), "b2")
+    tbl.alter_add_column("extra", "string")
+    h = {r.snapshot_id: r for r in tbl.history().collect()}
+    assert h[0].operation == "create"
+    assert h[1].operation == "merge" and h[1].batch_id == "b1" and h[1].inserts == 1
+    assert h[2].operation == "merge" and h[2].updates == 1
+    assert h[3].operation == "add_column:extra" and h[3].schema_version == 1
+    assert h[2].parent == 1
+
+
+def test_malformed_events_quarantined(spark, tbl):
+    bad_rows = [
+        (10, "I", None, T(1), "no-key"),        # null key
+        (11, "I", "u9", None, "no-ts"),         # null order col
+        (12, "X", "u9", T(1), "bad-op"),        # unknown op
+    ]
+    rows = [(1, "I", "u1", T(1), "a"), (2, "I", "u2", T(2), "b")] + bad_rows
+    lin = tbl.merge(ev(spark, rows), "b1")
+    assert lin["malformed"] == 3 and lin["inserts"] == 2
+    assert {r.url: r.text for r in tbl.read().collect()} == {"u1": "a", "u2": "b"}
+    q = tbl.quarantine()
+    assert q.count() == 3
+    assert set(q.select("batch").distinct().toPandas()["batch"]) == {"b1"}
+    assert {r.event_id for r in q.collect()} == {10, 11, 12}
+    # lineage records the count
+    ln = tbl.lineage().filter(F.col("batch_id") == "b1").collect()
+    assert all(r.malformed == 3 for r in ln)
+
+
+def test_drop_column_metadata_only(spark, tbl):
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "keep-me")]), "b1")
+    files_before = [f["path"] for f in tbl.commit()["files"]]
+    snap_pre_drop = tbl.current_snapshot_id()
+    tbl.alter_drop_column("text")
+    assert [f["path"] for f in tbl.commit()["files"]] == files_before  # zero rewrite
+    assert "text" not in tbl.read().columns
+    # time travel still sees the dropped column
+    assert tbl.read(snap_pre_drop).collect()[0].text == "keep-me"
+    # re-add under the same name: FRESH id -> old bytes must NOT resurrect
+    tbl.alter_add_column("text", "string")
+    assert tbl.read().collect()[0].text is None
+    with pytest.raises(ValueError):
+        tbl.alter_drop_column("url")  # key column is not droppable
