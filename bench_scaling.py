@@ -146,7 +146,11 @@ def main() -> None:
 
 
 def write_md(r: dict, n_lo: int, n_hi: int) -> None:
-    md = f"""## Scaling evidence (north rule: efficiency ≥ 0.8 from N to 4N)
+    """Replace ONLY the marked scaling section of BENCH.md (the rest of
+    the document — headline, query timings, methodology — is maintained
+    by hand and must survive a scaling re-run)."""
+    md = f"""<!-- SCALING_SECTION_BEGIN -->
+## Scaling evidence (north rule: efficiency ≥ 0.8 from N to 4N)
 
 Same job, identical input ({r['events']:,} synthetic Common-Crawl CDC
 events, seed 42, 20% hot-url skew), two parallelism levels, separate
@@ -158,16 +162,22 @@ JVMs via `spark-submit --py-files dist/ais_etl_spark.zip`:
 | local[{n_hi}] (4N) | {r[f'local[{n_hi}]']['ingest_sec']} | {r[f'local[{n_hi}]']['events_per_sec']:,} |
 
 speedup {r['speedup']}× over a 4× core ratio → **efficiency {r['efficiency']}**
-({'PASS' if r['pass'] else 'FAIL'} vs the ≥ 0.8 bar).
-
-Raw per-run ingest seconds (alternating levels, best-of reported):
-`{r.get('raw_runs')}`. The sandbox VM's sustained-load throughput
-drifts over minutes (single shared box; vCPU steal); a real N→4N
-executor cluster also multiplies memory bandwidth, NICs, and disks,
-which a single box cannot — these numbers are the conservative floor.
-"""
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+({'PASS' if r['pass'] else 'FAIL'} vs the ≥ 0.8 bar). Raw per-run
+ingest seconds (alternating levels, best-of reported):
+`{r.get('raw_runs')}`.
+<!-- SCALING_SECTION_END -->"""
+    path = os.path.join(REPO, "BENCH.md")
+    begin, end = "<!-- SCALING_SECTION_BEGIN -->", "<!-- SCALING_SECTION_END -->"
+    with open(path) as f:
+        cur = f.read()
+    if begin in cur and end in cur:
+        pre = cur.split(begin)[0]
+        post = cur.split(end)[1]
+        cur = pre + md + post
+    else:
+        cur = cur.rstrip() + "\n\n" + md + "\n"
+    with open(path, "w") as f:
+        f.write(cur)
 
 
 if __name__ == "__main__":
