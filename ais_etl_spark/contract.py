@@ -1472,10 +1472,78 @@ def q_sim_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, queries, k=10)
 
 
-@_q("sim_ivf_topk")  # rows-only: approximate (recall asserted in tests)
+def _ivf_assign_cte(out: str, cent: str) -> str:
+    """One Lloyd assignment: every vector to its max-cosine centroid
+    (cosine rounded to 6 dp before ranking, ties to the lowest cell —
+    the exact rule similarity.ivf_assign uses)."""
+    return (
+        f"{out} AS (SELECT vec_id, e, cell FROM (\n"
+        f"  SELECT v.vec_id, v.e, s.cell,\n"
+        f"         row_number() OVER (PARTITION BY v.vec_id\n"
+        f"           ORDER BY ROUND({_cos_sql('v.e', 's.e')}, 6) DESC, s.cell ASC) AS rn\n"
+        f"  FROM v CROSS JOIN {cent} s) WHERE rn = 1)"
+    )
+
+
+def _ivf_mean_cte(out: str, assign: str, prev: str, dim: int) -> str:
+    """Per-cell per-dim mean with EXACT decimal sums then one
+    deterministic cast to double — mirrors kmeans_refine's decimal
+    aggregation, so both engines derive bit-identical centroids
+    regardless of aggregation order. Empty cells keep the previous
+    centroid."""
+    return (
+        f"{out}_m AS (\n"
+        f"  SELECT cell, d,\n"
+        f"         CAST(sum(CAST(e[d] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m\n"
+        f"  FROM {assign} CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d) td\n"
+        f"  GROUP BY cell, d),\n"
+        f"{out}_v AS (SELECT cell, list(m ORDER BY d) AS e FROM {out}_m GROUP BY cell),\n"
+        f"{out} AS (SELECT s.cell, COALESCE(nv.e, s.e) AS e\n"
+        f"          FROM {prev} s LEFT JOIN {out}_v nv USING (cell))"
+    )
+
+
+_IVF_ORACLE = f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)
+),
+{_ivf_assign_cte('a1', 'seeds')},
+{_ivf_mean_cte('c1', 'a1', 'seeds', 64)},
+{_ivf_assign_cte('a2', 'c1')},
+{_ivf_mean_cte('c2', 'a2', 'c1', 64)},
+{_ivf_assign_cte('af', 'c2')},
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+pc AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.vec_id AS query_id, q.e AS qv, s.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_cos_sql('q.e', 's.e')}, 6) DESC, s.cell ASC) AS rn
+    FROM q CROSS JOIN c2 s) WHERE rn <= 2
+),
+scored AS (
+  SELECT pc.query_id, af.vec_id AS neighbor_id,
+         ROUND({_cos_sql('af.e', 'pc.qv')}, 6) AS cosine
+  FROM af JOIN pc ON af.cell = pc.cell WHERE af.vec_id <> pc.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 10"""
+
+
+@_q("sim_ivf_topk", _IVF_ORACLE)
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF with k-means-trained centroids (2 Lloyd iterations over
-    DataFrame ops — broadcast assign + per-dim columnar mean)."""
+    DataFrame ops — broadcast assign + per-dim columnar mean). NOW
+    oracle-checked end to end: the training means use exact decimal
+    sums (order-independent), every ranking rounds cosine to 6 dp with
+    deterministic tiebreaks, and the seeds are the n_cells lowest-id
+    vectors — so DuckDB re-derives the same centroids, the same cell
+    assignment, the same probes, and the same top-k."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(

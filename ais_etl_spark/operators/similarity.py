@@ -166,16 +166,26 @@ def kmeans_refine(
     v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e"))
     for _ in range(iters):
         assigned = ivf_assign(v, cents, vec_col="_e", id_col=id_col)
+        # EXACT per-dim sums (decimal) so the trained centroids are a
+        # pure function of the corpus, independent of partial-agg
+        # order — what makes the whole IVF query reproducible by an
+        # ANSI-SQL oracle. One deterministic rounding at the end:
+        # exact decimal → double, then double / count.
         summed = assigned.groupBy("cell").agg(
             F.count("*").alias("_n"),
             *[
-                F.sum(F.element_at("_e", d + 1)).alias(f"_s{d}")
+                F.sum(F.element_at("_e", d + 1).cast("decimal(27,10)")).alias(f"_s{d}")
                 for d in range(dim)
             ],
         )
         new_cents = summed.select(
             "cell",
-            F.array(*[F.col(f"_s{d}") / F.col("_n") for d in range(dim)]).alias("_nv"),
+            F.array(
+                *[
+                    F.col(f"_s{d}").cast("double") / F.col("_n")
+                    for d in range(dim)
+                ]
+            ).alias("_nv"),
         )
         prev = cents.select("cell", F.col("_e").alias("_pv"))
         cents = prev.join(new_cents, "cell", "left").select(
