@@ -901,6 +901,53 @@ def q_tf_raster_pipeline(spark, sf_dir):
     )
 
 
+# tf_audio_trim oracle: input samples are a pure formula of doc_id
+# (audio.synth_wav_udf: s[i] = ((doc_id*7 + i*13) % 2001) - 1000,
+# 8 kHz mono, 1 s), so SQL shadows the REAL codec chain analytically:
+# trim [0.25 s, 0.75 s) keeps samples 2000..5999; the emitted values
+# are per-1000-sample windows of sum(|s|) — integer-exact both sides.
+def _audio_window_sql(j: int) -> str:
+    lo, hi = 2000 + 1000 * j, 2000 + 1000 * j + 999
+    return (
+        f"CAST(list_sum(list_transform(generate_series({lo}, {hi}), "
+        f"i -> abs(((doc_id*7 + i*13) % 2001) - 1000))) AS BIGINT)"
+    )
+
+
+@_q(
+    "tf_audio_trim",
+    "SELECT doc_id, "
+    + ", ".join(f"{_audio_window_sql(j)} AS w{j}" for j in range(4))
+    + " FROM documents",
+)
+def q_tf_audio_trim(spark, sf_dir):
+    """audio_splitter on ACTUAL samples (NeMo/.../audio_splitter/
+    fastapi_server.py:65-97): synthesize a deterministic 1 s PCM16 WAV
+    per doc, run the spec-compiled chain trim[0.25, 0.75) →
+    windowed |sample| sums, all through real RIFF/WAVE encode/decode
+    (operators/wav.py). Hash-checked against a pure arithmetic oracle
+    on the sample formula."""
+    from ais_etl_spark.transforms import audio
+    from ais_etl_spark.transforms.spec import compile_pipeline
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("payload", audio.synth_wav_udf(8000, 1)(F.col("doc_id")))
+    out = compile_pipeline(
+        d,
+        [
+            {"op": "audio_trim", "from_s": 0.25, "to_s": 0.75},
+            {"op": "audio_window_sums", "window": 1000},
+        ],
+    )
+    return out.select(
+        "doc_id",
+        *[
+            F.element_at("window_sums", j + 1).cast("bigint").alias(f"w{j}")
+            for j in range(4)
+        ],
+    )
+
+
 @_q(
     "tf_slice_args",
     """SELECT doc_id,

@@ -1,0 +1,89 @@
+"""WAV codec + audio transforms on real PCM samples (the audio twin of
+test_raster.py; reference oracles are the audio_splitter duration/
+content assertions, test_ffmpeg.py:49-79)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ais_etl_spark.operators import wav
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = [0, 100, -100, 32767, -32768, 7]
+    rate, ch, got = wav.decode_wav(wav.encode_wav(8000, 1, mono))
+    assert (rate, ch, got) == (8000, 1, mono)
+    stereo = [1, -1, 200, -200, 32000, -32000]
+    rate, ch, got = wav.decode_wav(wav.encode_wav(44100, 2, stereo))
+    assert (rate, ch, got) == (44100, 2, stereo)
+
+
+def test_wav_rejects_non_wav_and_bad_format():
+    with pytest.raises(ValueError):
+        wav.decode_wav(b"nope")
+    with pytest.raises(ValueError):
+        wav.trim_wav(wav.encode_wav(8000, 1, [1, 2, 3]), 0.5, 0.5)  # empty range
+
+
+def test_trim_is_sample_accurate():
+    samples = list(range(-4000, 4000))  # 8000 samples = 1s at 8kHz
+    data = wav.encode_wav(8000, 1, samples)
+    rate, ch, got = wav.decode_wav(wav.trim_wav(data, 0.25, 0.5))
+    assert got == samples[2000:4000]
+    # stereo trim keeps frames aligned
+    st = wav.encode_wav(4, 2, [10, 11, 20, 21, 30, 31, 40, 41])  # 4 frames at 4Hz
+    rate, ch, got = wav.decode_wav(wav.trim_wav(st, 0.25, 0.75))
+    assert (ch, got) == (2, [20, 21, 30, 31])
+
+
+def test_to_mono_mixdown():
+    st = wav.encode_wav(8000, 2, [100, 200, -100, -300, 7, 8])
+    rate, ch, got = wav.decode_wav(wav.to_mono(st))
+    assert (ch, got) == (1, [150, -200, 7])
+
+
+def test_window_abs_sums():
+    data = wav.encode_wav(8000, 1, [1, -2, 3, -4, 5])
+    assert wav.window_abs_sums(data, 2) == [3, 7, 5]  # trailing partial window
+
+
+def test_audio_pipeline_spark(spark):
+    """Spec-compiled trim + mono + window sums through Spark — real
+    codec end to end, including per-row-args trim (manifest pattern)."""
+    from pyspark.sql import functions as F
+
+    from ais_etl_spark.transforms import audio
+    from ais_etl_spark.transforms.spec import compile_pipeline
+
+    d = spark.range(0, 3).select(
+        F.col("id").alias("doc_id"),
+        audio.synth_wav_udf(8000, 1)(F.col("id")).alias("payload"),
+    )
+    out = compile_pipeline(
+        d,
+        [
+            {"op": "audio_trim", "from_s": 0.25, "to_s": 0.75},
+            {"op": "audio_window_sums", "window": 1000},
+        ],
+    )
+    for r in out.collect():
+        i = r["doc_id"]
+        want = [
+            sum(
+                abs(((i * 7 + j * 13) % 2001) - 1000)
+                for j in range(2000 + 1000 * w, 2000 + 1000 * w + 1000)
+            )
+            for w in range(4)
+        ]
+        assert r["window_sums"] == want, i
+    # per-row args: each row trims a different range
+    args = d.withColumn("lo", F.col("doc_id") * 0.1).withColumn(
+        "hi", F.col("doc_id") * 0.1 + 0.25
+    )
+    trimmed = args.select(
+        "doc_id",
+        audio.trim_args_udf()(F.col("payload"), F.col("lo"), F.col("hi")).alias("p"),
+    )
+    for r in trimmed.collect():
+        rate, ch, samples = wav.decode_wav(bytes(r["p"]))
+        assert (rate, ch, len(samples)) == (8000, 1, 2000), r["doc_id"]
