@@ -257,6 +257,41 @@ def q_cdc_engine_replay(spark, sf_dir):
     )
 
 
+_LOOKUP_URLS = [f"https://site-{i}.example.com/page/{i}" for i in (0, 1, 2)]
+
+_POINT_LOOKUP_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, text, lang
+FROM win WHERE rn = 1 AND op <> 'D'
+  AND url IN ({", ".join(repr(u) for u in _LOOKUP_URLS)})"""
+
+
+@_q("cdc_point_lookup", _POINT_LOOKUP_ORACLE)
+def q_cdc_point_lookup(spark, sf_dir):
+    """POINT-READ CHECK (the inline-GET / hpull analog): merge the feed
+    into a lake table, then serve three specific urls via
+    LakeTable.lookup — driver-side XXH64 bucket + manifest key-range
+    pruning, reading only the covering files. Hash-matching the SQL
+    replay proves both the pruning (no live row missed) and the
+    driver/JVM hash parity end to end."""
+    feed = _feed_with_html(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ais-etl-lookup-contract-")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
+        order_col="warc_ts", n_buckets=16,
+    )
+    apply_cdc_batch(table, feed, batch_id="pl-0")
+    parts = [
+        table.lookup(u).select(
+            "url", _ms("warc_ts").alias("warc_ts_ms"), "text", "lang"
+        )
+        for u in _LOOKUP_URLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @_q("cdc_stream_ingest", _ENGINE_REPLAY_ORACLE)
 def q_cdc_stream_ingest(spark, sf_dir):
     """STREAMING ENGINE CHECK: same feed tailed as binlog segments by
