@@ -257,6 +257,55 @@ def q_cdc_engine_replay(spark, sf_dir):
     )
 
 
+_CHANGELOG_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()},
+mid AS (SELECT (min(event_id) + max(event_id)) // 2 AS m FROM cdc),
+w0 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY url
+        ORDER BY warc_ts DESC, event_id DESC) AS rn FROM cdc
+        WHERE event_id <= (SELECT m FROM mid)) WHERE rn = 1),
+wa AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY url
+        ORDER BY warc_ts DESC, event_id DESC) AS rn FROM cdc) WHERE rn = 1),
+j AS (
+  SELECT wa.url, wa.op, wa.warc_ts, wa.event_id, wa.text, wa.lang,
+         w0.op AS op0, w0.warc_ts AS ts0, w0.event_id AS eid0
+  FROM wa LEFT JOIN w0 ON wa.url = w0.url
+)
+SELECT url, epoch_ms(warc_ts) AS warc_ts_ms,
+       CASE WHEN op = 'D' THEN NULL ELSE text END AS text,
+       CASE WHEN op = 'D' THEN NULL ELSE lang END AS lang,
+       change_type
+FROM (
+  SELECT *, CASE
+      WHEN op <> 'D' AND (op0 IS NULL OR op0 = 'D') THEN 'insert'
+      WHEN op <> 'D' AND (warc_ts <> ts0 OR event_id <> eid0) THEN 'update'
+      WHEN op = 'D' AND op0 IS NOT NULL AND op0 <> 'D' THEN 'delete'
+    END AS change_type FROM j) t
+WHERE change_type IS NOT NULL"""
+
+
+@_q("cdc_changelog", _CHANGELOG_ORACLE)
+def q_cdc_changelog(spark, sf_dir):
+    """CDC-OUT CHECK: the incremental row-level changelog between two
+    committed snapshots (reading only added/removed manifest files —
+    Iceberg's incremental scan) must equal the logical diff of the two
+    windowed SQL replays: absent-or-dead→live = insert, live with a
+    newer (warc_ts, event_id) = update, live→tombstone = delete
+    (carrying the tombstone's event time, null payload), carried
+    rewrites = no row."""
+    feed = _feed_with_html(spark, sf_dir)
+    lo, hi = feed.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="ais-etl-changelog-contract-")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
+        order_col="warc_ts", n_buckets=16,
+    )
+    apply_cdc_batch(table, feed.filter(F.col("event_id") <= mid), "cl-0")
+    apply_cdc_batch(table, feed.filter(F.col("event_id") > mid), "cl-1")
+    return table.changes(1, 2).select(
+        "url", _ms("warc_ts").alias("warc_ts_ms"), "text", "lang", "change_type"
+    )
+
+
 _LOOKUP_URLS = [f"https://site-{i}.example.com/page/{i}" for i in (0, 1, 2)]
 
 _POINT_LOOKUP_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
