@@ -89,6 +89,24 @@ def to_mono(data: bytes) -> bytes:
     return encode_wav(rate, 1, mono)
 
 
+def resample(data: bytes, dst_rate: int) -> bytes:
+    """Sample-rate conversion (FFmpeg AR analog) by nearest-sample
+    index mapping: out frame i ← in frame floor(i * src/dst). Exact
+    for integer ratios (drop/repeat frames); no interpolation filter —
+    documented fidelity tradeoff of the stdlib path (a production
+    pipeline swaps in ffmpeg via runtime detection)."""
+    src_rate, ch, samples = decode_wav(data)
+    if dst_rate == src_rate:
+        return encode_wav(src_rate, ch, samples)
+    n_in = len(samples) // ch
+    n_out = n_in * dst_rate // src_rate
+    out: list[int] = []
+    for i in range(n_out):
+        j = i * src_rate // dst_rate
+        out.extend(samples[j * ch : (j + 1) * ch])
+    return encode_wav(dst_rate, ch, out)
+
+
 def window_abs_sums(data: bytes, window: int) -> list[int]:
     """Per-window sum of absolute sample values (mono expected) — the
     integer-exact energy profile the SQL oracle recomputes. Trailing

@@ -65,6 +65,15 @@ def t_audio_mono(df, src: str = "payload", **_):
     return df.withColumn(src, fn(F.col(src)))
 
 
+@register("audio_resample", doc="nearest-sample rate conversion (FFmpeg AR analog)")
+def t_audio_resample(df, src: str = "payload", rate: int = 16000, **_):
+    @pandas_udf(BinaryType())
+    def fn(data: pd.Series) -> pd.Series:
+        return data.map(lambda b: None if b is None else wav.resample(bytes(b), rate))
+
+    return df.withColumn(src, fn(F.col(src)))
+
+
 @register("audio_window_sums", doc="per-window sum of |sample| (mono) — integer-exact energy profile")
 def t_audio_window_sums(df, src: str = "payload", dst: str = "window_sums",
                         window: int = 1000, **_):

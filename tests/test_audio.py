@@ -42,6 +42,24 @@ def test_to_mono_mixdown():
     assert (ch, got) == (1, [150, -200, 7])
 
 
+def test_resample_integer_ratios():
+    samples = list(range(100))
+    data = wav.encode_wav(8000, 1, samples)
+    # upsample 2x: every frame repeated (nearest mapping)
+    rate, ch, up = wav.decode_wav(wav.resample(data, 16000))
+    assert rate == 16000 and len(up) == 200
+    assert up[:6] == [0, 0, 1, 1, 2, 2]
+    # downsample 2x: every other frame
+    rate, ch, down = wav.decode_wav(wav.resample(data, 4000))
+    assert rate == 4000 and down == samples[::2]
+    # stereo keeps frames intact
+    st = wav.encode_wav(8000, 2, [1, 2, 3, 4, 5, 6, 7, 8])
+    rate, ch, got = wav.decode_wav(wav.resample(st, 4000))
+    assert (ch, got) == (2, [1, 2, 5, 6])
+    # round trip down->up preserves rate/shape
+    assert wav.decode_wav(wav.resample(wav.resample(data, 4000), 8000))[0] == 8000
+
+
 def test_window_abs_sums():
     data = wav.encode_wav(8000, 1, [1, -2, 3, -4, 5])
     assert wav.window_abs_sums(data, 2) == [3, 7, 5]  # trailing partial window
