@@ -76,8 +76,12 @@ def apply_cdc_batch(
     events: DataFrame,
     batch_id: str,
     schema_events: list[dict] | None = None,
+    transform=None,
 ) -> dict:
     """Shared batch-apply: fence schema evolution, enrich, merge.
+    ``transform`` (df → df, row-wise deterministic) is the per-winner
+    enrichment stage; default :func:`enrich_events` (html→text/lang),
+    pass ``curate_events`` for the full curation profile.
 
     ``schema_events`` (kind/col_name/new_name/col_type/fence_event_id)
     fence the batch exactly like DDL statements ordered within a binlog:
@@ -88,10 +92,12 @@ def apply_cdc_batch(
     """
     from ais_etl_spark.schema_evolution import apply_schema_event
 
+    if transform is None:
+        transform = enrich_events
     if not schema_events:
         # fast path: no DDL fences → no event_id-range pass needed
         return table.merge(
-            events, batch_id=batch_id, post_dedup_transform=enrich_events
+            events, batch_id=batch_id, post_dedup_transform=transform
         )
 
     lo_hi = events.agg(F.min("event_id"), F.max("event_id")).first()
@@ -105,7 +111,7 @@ def apply_cdc_batch(
             if hi is not None and ev["fence_event_id"] <= hi:
                 apply_schema_event(table, ev)
         return table.merge(
-            events, batch_id=batch_id, post_dedup_transform=enrich_events
+            events, batch_id=batch_id, post_dedup_transform=transform
         )
 
     lineage: dict = {}
@@ -115,13 +121,13 @@ def apply_cdc_batch(
             (F.col("event_id") >= start) & (F.col("event_id") < ev["fence_event_id"])
         )
         lineage = table.merge(
-            sub, batch_id=f"{batch_id}.{i}", post_dedup_transform=enrich_events
+            sub, batch_id=f"{batch_id}.{i}", post_dedup_transform=transform
         )
         apply_schema_event(table, ev)
         start = ev["fence_event_id"]
     tail = events.filter(F.col("event_id") >= start)
     lineage = table.merge(
-        tail, batch_id=f"{batch_id}.tail", post_dedup_transform=enrich_events
+        tail, batch_id=f"{batch_id}.tail", post_dedup_transform=transform
     )
     return lineage
 
@@ -139,6 +145,8 @@ def run_ingest(
     n_buckets: int = 16,
     maintenance_every: int | None = None,
     keep_snapshots: int = 3,
+    transform=None,
+    table_schema: list[tuple[str, str]] | None = None,
 ) -> LakeTable:
     """Run the streaming ingest to completion of currently-available
     data (availableNow trigger) and return the table. Call again with
@@ -171,8 +179,8 @@ def run_ingest(
         if not create_if_missing:
             raise
         table = LakeTable.create(
-            spark, table_path, PAGES_SCHEMA, key="url", order_col="warc_ts",
-            n_buckets=n_buckets,
+            spark, table_path, table_schema or PAGES_SCHEMA, key="url",
+            order_col="warc_ts", n_buckets=n_buckets,
         )
 
     reader = spark.readStream.schema(FEED_SCHEMA)
@@ -191,7 +199,8 @@ def run_ingest(
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         apply_cdc_batch(
-            table, batch_df, batch_id=f"epoch-{epoch_id}", schema_events=schema_events
+            table, batch_df, batch_id=f"epoch-{epoch_id}",
+            schema_events=schema_events, transform=transform,
         )
         applied["n"] += 1
         if maintenance_every and applied["n"] % maintenance_every == 0:

@@ -110,3 +110,31 @@ def test_ingest_with_inline_maintenance(spark, tmpdir_path):
         maintenance_every=1,
     )
     assert {(r.url, r.text) for r in table2.read().collect()} == want
+
+
+def test_streaming_curated_ingest(spark, tmpdir_path):
+    """The streaming loop with a pluggable transform: curate_events
+    through foreachBatch produces the same final state as batch merges
+    with the same transform (the curated contract path)."""
+    from ais_etl_spark.lake import LakeTable
+    from ais_etl_spark.transforms.curate import CURATED_PAGES_SCHEMA, curate_events
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    feed = synth_cdc_feed(spark, n_events=600, n_urls=120, seed=31).cache()
+    write_feed_chunks(feed, feed_dir, n_chunks=2)
+    tbl = run_ingest(
+        spark, feed_dir, os.path.join(tmpdir_path, "t"),
+        os.path.join(tmpdir_path, "c"),
+        transform=curate_events, table_schema=CURATED_PAGES_SCHEMA,
+    )
+    assert "simhash" in tbl.read().columns and "quality_keep" in tbl.read().columns
+
+    ref = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "ref"), CURATED_PAGES_SCHEMA,
+        key="url", order_col="warc_ts", n_buckets=16,
+    )
+    ref.merge(feed, "b0", post_dedup_transform=curate_events)
+    got = {tuple(r) for r in tbl.read().drop("html").collect()}
+    want = {tuple(r) for r in ref.read().drop("html").collect()}
+    assert got == want
+    feed.unpersist()
