@@ -3,11 +3,16 @@
 Thin adapter over :mod:`ais_etl_spark.contract`, which holds one
 (spark, sf_dir) -> DataFrame callable per implemented operator from
 SURVEY.md §2 plus the DuckDB oracle SQL twins (same column names, same
-engine-portable arithmetic). The only queries without an oracle entry
-are the genuinely non-SQL-expressible ones — seeded xxhash64 (DuckDB
-has no compatible hash) and the two approximate-ANN variants (recall
-asserted in tests instead) — the driver records the weaker rows-only
-check for those.
+engine-portable arithmetic). The ONLY query without an oracle entry is
+``tf_xxhash`` — permanently rows-only because DuckDB has no
+Spark-compatible xxhash64 and a pure-SQL XXH64 is unreasonable; as a
+substitute the query itself carries a per-row ``jvm_py_equal``
+assertion (JVM builtin vs the pure-Python twin), and the twin is
+hypothesis-property-tested bit-identical at seed 42. Every other
+query, including the formerly rows-only approximate-ANN pair, is
+value-hash-checked: sim_lsh_topk/sim_ivf_topk were made exactly
+reproducible (deterministic md5 hyperplanes; exact-decimal k-means
+training) so the oracle replays the same approximation.
 """
 
 from __future__ import annotations

@@ -13,7 +13,15 @@ green (it sorts columns by name and hashes values):
   engines and is rounded to 6 dp *before* any ranking, so fp noise
   cannot flip ranks;
 - counts/sizes cast to BIGINT on both sides (DuckDB sums are HUGEINT,
-  Spark sizes are INT).
+  Spark sizes are INT);
+- REAL codec paths (PNG raster, WAV audio) hash-check by synthesizing
+  the payload from a pure formula of doc_id, so the oracle can shadow
+  the pixel/sample arithmetic analytically while Spark runs the actual
+  encode→transform→decode;
+- approximate operators are oracle-checked by making the approximation
+  DETERMINISTIC and putting it in both engines (LSH bands/buckets as
+  md5 constructs; k-means training with exact decimal sums), rather
+  than by comparing against the exact answer plus a recall assumption.
 """
 
 from __future__ import annotations

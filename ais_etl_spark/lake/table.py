@@ -358,12 +358,21 @@ class LakeTable:
         from ais_etl_spark.transforms.builtin import xxhash64_py
 
         c = self.commit()
-        u = xxhash64_py(key_value.encode("utf-8"), 42)
-        signed = u - (1 << 64) if u >= (1 << 63) else u
-        bucket = signed % c["n_buckets"]  # python % == Spark pmod on ints
+        key_type = next(
+            x["type"] for x in self.schema_cols(c) if x["name"] == c["key"]
+        )
+        if key_type == "string" and isinstance(key_value, str):
+            u = xxhash64_py(key_value.encode("utf-8"), 42)
+            signed = u - (1 << 64) if u >= (1 << 63) else u
+            bucket = signed % c["n_buckets"]  # python % == Spark pmod on ints
+        else:
+            # the python XXH64 twin mirrors the JVM hash for UTF-8
+            # string input only; other key types degrade to range-only
+            # pruning (still file-granular, just not bucket-pruned)
+            bucket = None
         hits = [
             f for f in c["files"]
-            if f["bucket"] == bucket
+            if (bucket is None or f["bucket"] == bucket)
             and (
                 f.get("min_key") is None
                 or f["min_key"] <= key_value <= f["max_key"]

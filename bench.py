@@ -103,6 +103,8 @@ QUERY_NAMES = [
     "cdc_lww_agg_parity",
     "cdc_snapshot_by_lang",
     "cdc_engine_replay",
+    "cdc_changelog",
+    "cdc_point_lookup",
     "rel_pricing_summary",
     "rel_revenue_by_nation",
     "rel_top_orders_per_customer",
