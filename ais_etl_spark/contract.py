@@ -1344,6 +1344,59 @@ def q_txt_winnow_fingerprint(spark, sf_dir):
     )
 
 
+_PII_SUFFIX_SQL = (
+    "' mail u' || CAST(doc_id AS VARCHAR) || '@ex.com via https://x.io/p/'"
+    " || CAST(doc_id AS VARCHAR) || ' or +1 (555) 123-4567'"
+)
+
+
+@_q(
+    "txt_scrub_pii",
+    f"""WITH p AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{T.PII_URL_RE}', '<URL>', 'g'),
+         '{T.PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{T.PII_URL_RE}', '<URL>', 'g'),
+         '{T.PII_PHONE_RE}', '<PHONE>', 'g') <> text AS had_pii
+FROM p""",
+)
+def q_txt_scrub_pii(spark, sf_dir):
+    """PII scrub (emails/urls/phones → typed placeholders) for
+    training-data curation. The input appends a synthetic PII tail per
+    doc (same construction in the oracle) so every replacement path
+    actually fires and is value-checked, not just the no-op case."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.com via https://x.io/p/"), F.col("doc_id").cast("string"),
+            F.lit(" or +1 (555) 123-4567"),
+        ).alias("text"),
+    )
+    return T.scrub_pii(d)
+
+
+@_q(
+    "txt_doc_freq",
+    """WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df
+FROM tok GROUP BY token HAVING count(*) >= 2""",
+)
+def q_txt_doc_freq(spark, sf_dir):
+    """Corpus document-frequency table (IDF building block): one
+    hash-agg over per-doc distinct tokens — shuffle bounded by
+    vocabulary, hot tokens absorbed by map-side combine."""
+    return T.doc_frequency(_t(spark, sf_dir, "documents"), min_df=2)
+
+
 # ===========================================================================
 # Deduplication (training-data curation)
 # ===========================================================================

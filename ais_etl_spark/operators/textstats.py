@@ -165,3 +165,47 @@ def winnow_fingerprint_udf(k: int = 5, window: int = 4):
         return text.map(winnow_one)
 
     return winnow
+
+
+# PII patterns: engine-portable regex subset (no lookarounds; RE2-safe
+# for the DuckDB oracle, java.util.regex-safe for Spark)
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_URL_RE = "https?://[^\\s]+"
+PII_PHONE_RE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrub for training-data curation: emails → <EMAIL>, urls →
+    <URL>, phone-like digit runs → <PHONE>, applied in that fixed
+    order (url after email so mailto-ish text is already collapsed;
+    phone last so it cannot eat scheme digits). Pure JVM regex
+    projection — no UDF, no shuffle; transliterates 1:1 to the oracle
+    (DuckDB regexp_replace with the 'g' flag)."""
+    scrubbed = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_URL_RE, "<URL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        (scrubbed != F.col(text_col)).alias("had_pii"),
+    )
+
+
+def doc_frequency(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_df: int = 2
+) -> DataFrame:
+    """Corpus document-frequency table (the IDF building block for
+    quality filtering / rare-token pruning at scale): explode DISTINCT
+    tokens per doc → one hash-agg count per token. Map-side combine
+    collapses each partition to its vocabulary before the shuffle, so
+    shuffle volume is bounded by |vocab| × partitions, not corpus
+    size; a hot token (stopword) is exactly one combiner row per
+    partition — skew-free by construction."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )

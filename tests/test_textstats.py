@@ -63,3 +63,36 @@ def test_winnow_fingerprint(spark):
     assert got[0] == got[1]          # identical text → identical fingerprint set
     assert got[2] == []              # shorter than k
     assert all(len(x) == 8 for x in got[0])
+
+
+def test_scrub_pii(spark):
+    from ais_etl_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "contact alice@corp.io or visit https://a.io/x?q=1 now"),
+            (1, "call +1 (555) 867-5309 today"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.scrubbed, r.had_pii) for r in scrub_pii(df).collect()}
+    assert got[0] == ("contact <EMAIL> or visit <URL> now", True)
+    assert got[1] == ("call <PHONE> today", True)
+    assert got[2] == ("nothing sensitive here", False)
+
+
+def test_doc_frequency(spark):
+    from ais_etl_spark.operators.textstats import doc_frequency
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark shuffle plan"),
+            (1, "spark plan"),
+            (2, "unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.token: r.df for r in doc_frequency(df, min_df=2).collect()}
+    # within-doc repeats count once (distinct per doc); min_df prunes singletons
+    assert got == {"spark": 2, "plan": 2}
