@@ -170,6 +170,9 @@ class LakeTable:
                 f"snapshot {commit['snapshot_id']} already committed "
                 f"(concurrent writer?)"
             )
+        import time
+
+        commit.setdefault("committed_at", time.time())
         tmp = os.path.join(self.path, _COMMITS, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(commit, f)
@@ -307,6 +310,31 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def rollback(self, snapshot_id: int) -> int:
+        """Iceberg-style rollback: a NEW commit whose file set, schema
+        state, and applied-batch list are those of ``snapshot_id``.
+        History is preserved (time travel to the rolled-back-from
+        snapshots still works until expiry), and batches applied after
+        the target become re-appliable — their exactly-once fence rolls
+        back WITH the data they wrote, so a corrected re-merge keeps
+        replay equality instead of being swallowed as a duplicate."""
+        target = self.commit(snapshot_id)
+        cur = self.commit()
+        commit = {
+            **{k: target[k] for k in ("schema_version", "schemas", "key",
+                                      "order_col", "n_buckets")},
+            "max_file_rows": target.get("max_file_rows", 1 << 20),
+            "snapshot_id": cur["snapshot_id"] + 1,
+            "parent": cur["snapshot_id"],
+            "batch_id": None,
+            "operation": f"rollback:{snapshot_id}",
+            "files": target["files"],
+            "batches": list(target.get("batches", [])),
+            "lineage": {"rolled_back_to": snapshot_id},
+        }
+        self._write_commit(commit)
+        return commit["snapshot_id"]
+
     def history(self) -> DataFrame:
         """Snapshot-history metadata table (Iceberg's ``snapshots``/
         ``history`` analog): one row per retained commit with
@@ -330,6 +358,7 @@ class LakeTable:
                     c.get("batch_id"),
                     c["schema_version"],
                     len(c.get("files", [])),
+                    c.get("committed_at"),
                     *[ln.get(k) for k in ("inserts", "updates", "deletes",
                                           "stale_noops", "rows_after")],
                 )
@@ -338,6 +367,7 @@ class LakeTable:
             rows,
             "snapshot_id bigint, parent bigint, operation string, "
             "batch_id string, schema_version int, n_files int, "
+            "committed_at double, "
             "inserts bigint, updates bigint, deletes bigint, "
             "stale_noops bigint, rows_after bigint",
         )

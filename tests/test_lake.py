@@ -279,3 +279,26 @@ def test_drop_column_metadata_only(spark, tbl):
     assert tbl.read().collect()[0].text is None
     with pytest.raises(ValueError):
         tbl.alter_drop_column("url")  # key column is not droppable
+
+
+def test_rollback_restores_state_and_batch_fences(spark, tbl):
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a"), (2, "I", "u2", T(2), "b")]), "b1")
+    good = {(r.url, r.text) for r in tbl.read().collect()}
+    bad_batch = ev(spark, [(3, "U", "u1", T(3), "CORRUPT"), (4, "D", "u2", T(4), None)])
+    tbl.merge(bad_batch, "b2")
+    assert {(r.url, r.text) for r in tbl.read().collect()} != good
+
+    tbl.rollback(1)
+    assert {(r.url, r.text) for r in tbl.read().collect()} == good
+    # the bad batch's exactly-once fence rolled back with its data:
+    # a corrected b2 APPLIES instead of being swallowed as a replay
+    fixed = ev(spark, [(3, "U", "u1", T(3), "fixed"), (4, "D", "u2", T(4), None)])
+    lin = tbl.merge(fixed, "b2")
+    assert lin != {}
+    assert {(r.url, r.text) for r in tbl.read().collect()} == {("u1", "fixed")}
+    # history records the rollback; every commit carries a timestamp
+    ops = {r.snapshot_id: r.operation for r in tbl.history().collect()}
+    assert ops[3] == "rollback:1"
+    assert all(r.committed_at is not None for r in tbl.history().collect())
+    # time travel to the rolled-back-from snapshot still works
+    assert {(r.url, r.text) for r in tbl.read(2).collect()} == {("u1", "CORRUPT")}
