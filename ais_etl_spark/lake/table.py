@@ -423,6 +423,7 @@ class LakeTable:
         events: DataFrame,
         batch_id: str,
         post_dedup_transform=None,
+        exact_probe_files: int = 64,
     ) -> dict:
         """Apply a batch of CDC events (op/url/warc_ts/event_id +
         payload columns ⊆ schema) with LWW + tombstones. Idempotent on
@@ -465,7 +466,7 @@ class LakeTable:
             | ~F.col("op").isin("I", "U", "D")
         )
         touched, offsets, hit_paths, malformed = self._batch_stats(
-            events, key, c, bad
+            events, key, c, bad, exact_probe_files
         )
         valid = events
         if malformed:
@@ -488,7 +489,8 @@ class LakeTable:
             offsets, malformed,
         )
 
-    def _batch_stats(self, events: DataFrame, key: str, c: dict, bad):
+    def _batch_stats(self, events: DataFrame, key: str, c: dict, bad,
+                     exact_probe_files: int = 64):
         """Pre-pass over the raw events, column-pruned to key+offset
         (never the payload), producing the three merge inputs from ONE
         map-side-combined aggregation (shuffle = at most
@@ -569,7 +571,46 @@ class LakeTable:
             # None stats = unknown range = always hit (conservative)
             if fmin is None or not (fmax < rng[0] or fmin > rng[1]):
                 hit_paths.add(f["path"])
+        # second pass, only when the range pass left MANY files (the
+        # 100 TB case: thousands of files per bucket, sparse batch):
+        # refine by exact key membership with a distinct-keys broadcast
+        # range join, restricted to the already-range-pruned entries.
+        # Below the threshold the extra Spark job's fixed cost exceeds
+        # the IO it saves (measured: ~1-2 s/job at 32 cores).
+        if len(hit_paths) >= exact_probe_files:
+            hit_paths = self._exact_probe(events, key, c, hit_paths, bad)
         return touched, offsets, hit_paths, malformed
+
+    def _exact_probe(
+        self, events: DataFrame, key: str, c: dict, candidates: set, bad
+    ):
+        ktype = next(
+            x["type"] for x in self.schema_cols(c) if x["name"] == c["key"]
+        )
+        entries = [f for f in c["files"] if f["path"] in candidates]
+        fdf = self.spark.createDataFrame(
+            [
+                (f["path"], f["bucket"], f.get("min_key"), f.get("max_key"))
+                for f in entries
+            ],
+            f"_fpath string, _fbucket int, _fmin {ktype}, _fmax {ktype}",
+        )
+        keys = (
+            events.filter(~bad)
+            .select(F.col(key), self._bucket_expr(F.col(key)).alias("_b"))
+            .distinct()
+        )
+        cond = (F.col("_fbucket") == F.col("_b")) & (
+            F.col("_fmin").isNull()
+            | ((F.col(key) >= F.col("_fmin")) & (F.col(key) <= F.col("_fmax")))
+        )
+        return {
+            r[0]
+            for r in keys.join(F.broadcast(fdf), cond)
+            .select("_fpath")
+            .distinct()
+            .collect()
+        }
 
     def _write_quarantine(self, bad_events: DataFrame, batch_id: str) -> None:
         """Dead-letter sink: preserve malformed events row-for-row for

@@ -302,3 +302,31 @@ def test_rollback_restores_state_and_batch_fences(spark, tbl):
     assert all(r.committed_at is not None for r in tbl.history().collect())
     # time travel to the rolled-back-from snapshot still works
     assert {(r.url, r.text) for r in tbl.read(2).collect()} == {("u1", "CORRUPT")}
+
+
+def test_exact_probe_prunes_beyond_ranges(spark, tmpdir_path):
+    """At many-files-per-bucket scale, the exact-key second pass must
+    rewrite strictly fewer files than range-overlap alone, with an
+    identical final state."""
+    import os
+
+    def build(path, probe_files):
+        t = LakeTable.create(spark, os.path.join(tmpdir_path, path), SCHEMA,
+                             n_buckets=1, max_file_rows=2)
+        # 40 keys, 1 bucket, 2 rows/file -> ~20 files with narrow ranges
+        t.merge(ev(spark, [(i, "I", f"u{i:03d}", T(i), f"t{i}") for i in range(40)]),
+                "b1", exact_probe_files=probe_files)
+        # sparse batch: two keys at the extremes -> batch range spans
+        # the whole bucket, so range-overlap flags every file
+        lin = t.merge(ev(spark, [(100, "U", "u000", T(100), "x"),
+                                 (101, "U", "u039", T(101), "y")]),
+                      "b2", exact_probe_files=probe_files)
+        return t, lin
+
+    t_range, lin_range = build("range", probe_files=10**9)  # exact pass disabled
+    t_exact, lin_exact = build("exact", probe_files=1)      # always exact
+    assert lin_exact["files_rewritten"] < lin_range["files_rewritten"]
+    assert lin_exact["files_rewritten"] <= 2  # one file per extreme key
+    got_r = {(r.url, r.text) for r in t_range.read().collect()}
+    got_e = {(r.url, r.text) for r in t_exact.read().collect()}
+    assert got_r == got_e and ("u000", "x") in got_e
