@@ -61,6 +61,51 @@ def test_xxhash64_py_invariants(data, seed):
         assert xxhash64_py(data + b"\x00", seed) != h or True  # smoke only
 
 
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, ch, rnd):
+    """encode→decode is the identity for any 8-bit gray/RGB/RGBA
+    raster, and encoding is byte-deterministic."""
+    from ais_etl_spark.operators.png import decode_png, encode_png
+
+    rows = [
+        bytearray(rnd.randrange(256) for _ in range(w * ch)) for _ in range(h)
+    ]
+    data = encode_png(w, h, ch, rows)
+    assert data == encode_png(w, h, ch, rows)
+    gw, gh, gch, got = decode_png(data)
+    assert (gw, gh, gch) == (w, h, ch) and got == rows
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400),
+    st.sampled_from([1, 2]),
+    st.sampled_from([4000, 8000, 16000]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_and_trim_property(samples, ch, rate):
+    """encode→decode identity for any PCM16 payload; trim == the
+    python frame slice of the same samples."""
+    from ais_etl_spark.operators.wav import decode_wav, encode_wav, trim_wav
+
+    samples = samples[: (len(samples) // ch) * ch]
+    data = encode_wav(rate, ch, samples)
+    assert decode_wav(data) == (rate, ch, samples)
+    n_frames = len(samples) // ch
+    if n_frames:
+        lo = 0.25 * n_frames / rate
+        hi = 0.75 * n_frames / rate
+        if lo < hi:
+            _r, _c, got = decode_wav(trim_wav(data, lo, hi))
+            f0, f1 = int(lo * rate) * ch, int(hi * rate) * ch
+            assert got == samples[f0:f1]
+
+
 @given(st.text(max_size=400))
 @settings(max_examples=100, deadline=None)
 def test_simhash32_range_and_determinism(text):
