@@ -385,15 +385,14 @@ class LakeTable:
         that bucket whose key range covers the value. At 100 TB this
         touches one file per live version of the key — never a scan.
         Tombstoned/absent keys return an empty DataFrame."""
-        from ais_etl_spark.transforms.builtin import xxhash64_py
+        from ais_etl_spark.transforms.builtin import xxhash64_py_signed
 
         c = self.commit()
         key_type = next(
             x["type"] for x in self.schema_cols(c) if x["name"] == c["key"]
         )
         if key_type == "string" and isinstance(key_value, str):
-            u = xxhash64_py(key_value.encode("utf-8"), 42)
-            signed = u - (1 << 64) if u >= (1 << 63) else u
+            signed = xxhash64_py_signed(key_value.encode("utf-8"), 42)
             bucket = signed % c["n_buckets"]  # python % == Spark pmod on ints
         else:
             # the python XXH64 twin mirrors the JVM hash for UTF-8
@@ -459,10 +458,14 @@ class LakeTable:
         # malformed events (dead-letter policy, the skip-and-count of
         # audio_manager fastapi_server.py:101-119,197-206): excluded
         # from the merge, counted in lineage, preserved in _quarantine
+        # op must be null-checked explicitly: `~isin(...)` is SQL NULL
+        # for a NULL op, and a NULL predicate fails BOTH filter(bad)
+        # and filter(~bad) — the event would silently vanish
         bad = (
             F.col(key).isNull()
             | F.col(order_col).isNull()
             | F.col("event_id").isNull()
+            | F.col("op").isNull()
             | ~F.col("op").isin("I", "U", "D")
         )
         touched, offsets, hit_paths, malformed = self._batch_stats(

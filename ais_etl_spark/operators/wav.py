@@ -67,10 +67,17 @@ def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
 def trim_wav(data: bytes, from_s: float, to_s: float) -> bytes:
     """Sample-accurate [from_s, to_s) trim, re-encoded — the
     audio_splitter semantics (validation included: the reference
-    errors on an empty/invalid range, fastapi_server.py:42-63)."""
+    errors on an empty/invalid/out-of-range request,
+    fastapi_server.py:42-63). ``from_s`` must fall inside the clip;
+    ``to_s`` past the end clips to the end (pydub slice semantics)."""
     if not (0 <= from_s < to_s):
         raise ValueError(f"invalid range [{from_s}, {to_s})")
     rate, ch, samples = decode_wav(data)
+    duration = (len(samples) // ch) / rate
+    if from_s >= duration:
+        raise ValueError(
+            f"trim start {from_s}s is at/after clip end ({duration}s)"
+        )
     f0 = int(from_s * rate) * ch
     f1 = int(to_s * rate) * ch
     return encode_wav(rate, ch, samples[f0:f1])

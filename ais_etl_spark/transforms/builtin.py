@@ -192,6 +192,16 @@ def xxhash_seeded_udf(seed: int):
     return lambda col: hasher(col)
 
 
+def xxhash64_py_signed(data: bytes, seed: int = 42) -> int:
+    """XXH64 in the JVM builtin's SIGNED int64 domain — the single
+    definition of the unsigned→signed reinterpretation that both the
+    parity UDF and LakeTable.lookup's driver-side bucket computation
+    must share (bucket pruning is only correct while this stays
+    bit-identical to ``F.xxhash64``)."""
+    u = xxhash64_py(data, seed)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 def xxhash64_py_udf(seed: int):
     """Pure-Python XXH64 emitted as SIGNED int64 — the JVM builtin's
     output domain — so ``xxhash64_py_udf(42)(c) == F.xxhash64(c)`` is a
@@ -202,8 +212,7 @@ def xxhash64_py_udf(seed: int):
     def one(b):
         if b is None:
             return None
-        u = xxhash64_py(_as_bytes(b), seed)
-        return u - (1 << 64) if u >= (1 << 63) else u
+        return xxhash64_py_signed(_as_bytes(b), seed)
 
     @pandas_udf(LongType())
     def hasher(data: pd.Series) -> pd.Series:

@@ -23,6 +23,12 @@ def test_wav_rejects_non_wav_and_bad_format():
         wav.decode_wav(b"nope")
     with pytest.raises(ValueError):
         wav.trim_wav(wav.encode_wav(8000, 1, [1, 2, 3]), 0.5, 0.5)  # empty range
+    one_sec = wav.encode_wav(8000, 1, [0] * 8000)
+    with pytest.raises(ValueError):
+        wav.trim_wav(one_sec, 2.0, 3.0)  # start past clip end
+    # to_s past the end clips to the end instead of erroring
+    _r, _c, got = wav.decode_wav(wav.trim_wav(one_sec, 0.5, 9.0))
+    assert len(got) == 4000
 
 
 def test_trim_is_sample_accurate():

@@ -251,18 +251,21 @@ def test_malformed_events_quarantined(spark, tbl):
         (10, "I", None, T(1), "no-key"),        # null key
         (11, "I", "u9", None, "no-ts"),         # null order col
         (12, "X", "u9", T(1), "bad-op"),        # unknown op
+        (13, None, "u9", T(1), "null-op"),      # NULL op: ~isin() is SQL
+        # NULL, which fails BOTH filter(bad) and filter(~bad) — found
+        # by review; must be quarantined, not silently dropped
     ]
     rows = [(1, "I", "u1", T(1), "a"), (2, "I", "u2", T(2), "b")] + bad_rows
     lin = tbl.merge(ev(spark, rows), "b1")
-    assert lin["malformed"] == 3 and lin["inserts"] == 2
+    assert lin["malformed"] == 4 and lin["inserts"] == 2
     assert {r.url: r.text for r in tbl.read().collect()} == {"u1": "a", "u2": "b"}
     q = tbl.quarantine()
-    assert q.count() == 3
+    assert q.count() == 4
     assert set(q.select("batch").distinct().toPandas()["batch"]) == {"b1"}
-    assert {r.event_id for r in q.collect()} == {10, 11, 12}
+    assert {r.event_id for r in q.collect()} == {10, 11, 12, 13}
     # lineage records the count
     ln = tbl.lineage().filter(F.col("batch_id") == "b1").collect()
-    assert all(r.malformed == 3 for r in ln)
+    assert all(r.malformed == 4 for r in ln)
 
 
 def test_drop_column_metadata_only(spark, tbl):
