@@ -314,6 +314,34 @@ def q_cdc_changelog(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_quarantine",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}
+SELECT event_id, CAST(NULL AS VARCHAR) AS op, url,
+       epoch_ms(warc_ts) AS warc_ts_ms
+FROM cdc WHERE event_id % 97 = 0""",
+)
+def q_cdc_quarantine(spark, sf_dir):
+    """DEAD-LETTER CHECK: corrupt a deterministic subset of the feed
+    (op → NULL on event_id % 97 = 0), merge, and read back the
+    quarantine table — must contain exactly the corrupted events
+    row-for-row (and, implicitly, the merge must have excluded them:
+    the other engine-replay oracles would break otherwise)."""
+    feed = _feed_with_html(spark, sf_dir).withColumn(
+        "op",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(F.col("op")),
+    )
+    tmp = tempfile.mkdtemp(prefix="ais-etl-quarantine-contract-")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
+        order_col="warc_ts", n_buckets=16,
+    )
+    apply_cdc_batch(table, feed, batch_id="qr-0")
+    return table.quarantine().select(
+        "event_id", "op", "url", _ms("warc_ts").alias("warc_ts_ms")
+    )
+
+
 _LOOKUP_URLS = [f"https://site-{i}.example.com/page/{i}" for i in (0, 1, 2)]
 
 _POINT_LOOKUP_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}

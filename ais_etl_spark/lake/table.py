@@ -260,21 +260,61 @@ class LakeTable:
         snapshot_id: int | None = None,
         include_internal: bool = False,
         buckets: list[int] | None = None,
+        order_min=None,
+        order_max=None,
     ) -> DataFrame:
         """Current-snapshot scan. Groups files by the schema version
         they were written under, maps physical → current names by
         column id, null-backfills added columns, unions, and filters
         tombstones (unless ``include_internal``). ``buckets`` prunes at
-        the manifest level."""
+        the manifest level; ``order_min``/``order_max`` (datetimes)
+        additionally skip files whose order-column range cannot
+        intersect [order_min, order_max] — Iceberg-style metrics
+        skipping. NOTE: this prunes FILES only, it does not filter
+        rows — combine with a ``.filter`` on the order column; and its
+        effectiveness depends on key↔time correlation, since files are
+        written key-sorted (a change feed whose keys are uncorrelated
+        with event time gets little file-level skipping, exactly as in
+        Iceberg)."""
         c = self.commit(snapshot_id)
-        files = c["files"]
-        if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+        files = self._select_files(c, buckets, order_min, order_max)
         out = self._entries_df(c, files)
         if not include_internal:
             out = out.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
         return out
+
+    @staticmethod
+    def _order_micros(dt_value) -> int | None:
+        """Naive datetime → epoch micros (session TZ is UTC; parquet
+        stores TIMESTAMP_NTZ). One definition shared by the stats
+        writer and the read-time pruner."""
+        import datetime as _dt
+
+        if dt_value is None:
+            return None
+        if isinstance(dt_value, (int, float)):
+            return int(dt_value)
+        return int(
+            dt_value.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+        )
+
+    def _select_files(self, c: dict, buckets, order_min, order_max) -> list[dict]:
+        files = c["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        lo = self._order_micros(order_min)
+        hi = self._order_micros(order_max)
+        if lo is not None or hi is not None:
+            kept = []
+            for f in files:
+                omin, omax = f.get("min_order"), f.get("max_order")
+                if omin is None:  # no stats → never skip
+                    kept.append(f)
+                elif (hi is None or omin <= hi) and (lo is None or omax >= lo):
+                    kept.append(f)
+            files = kept
+        return files
 
     def _entries_df(self, c: dict, files: list[dict]) -> DataFrame:
         """Scan a specific set of manifest entries (schema-version
@@ -795,8 +835,11 @@ class LakeTable:
         # this commit-path step O(files/threads) driver-side
         from concurrent.futures import ThreadPoolExecutor
 
+        order_col = c["order_col"]
         with ThreadPoolExecutor(max_workers=16) as pool:
-            stats = list(pool.map(lambda w: self._footer_stats(w[2], key), work))
+            stats = list(
+                pool.map(lambda w: self._footer_stats(w[2], key, order_col), work)
+            )
         return [
             {
                 "path": rel_path,
@@ -804,41 +847,50 @@ class LakeTable:
                 "schema_version": c["schema_version"],
                 "min_key": kmin,
                 "max_key": kmax,
+                "min_order": omin,
+                "max_order": omax,
                 "has_del": has_del,
             }
-            for (rel_path, bucket, _), (kmin, kmax, has_del) in zip(work, stats)
+            for (rel_path, bucket, _), (kmin, kmax, has_del, omin, omax)
+            in zip(work, stats)
         ]
 
-    @staticmethod
-    def _footer_stats(path: str, key: str):
-        """(min_key, max_key, has_tombstones) from parquet row-group
-        statistics. Missing stats degrade to (None, None, True) =
-        always-hit / always-GC-scanned — conservative, never wrong.
-        Parquet truncates long string stats but keeps them valid
-        bounds, so pruning with them stays correct."""
+    @classmethod
+    def _footer_stats(cls, path: str, key: str, order_col: str):
+        """(min_key, max_key, has_tombstones, min_order_us, max_order_us)
+        from parquet row-group statistics. Missing stats degrade to
+        None / True = always-hit / always-GC-scanned — conservative,
+        never wrong. Parquet truncates long string stats but keeps them
+        valid bounds, so pruning with them stays correct."""
         import pyarrow.parquet as pq
 
         try:
             md = pq.ParquetFile(path).metadata
         except Exception:
-            return None, None, True
+            return None, None, True, None, None
         idx = {
             md.row_group(0).column(i).path_in_schema: i
             for i in range(md.num_columns)
         }
-        kmin = kmax = None
+        kmin = kmax = omin = omax = None
         has_del = False
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[key]).statistics
             if st is None or not st.has_min_max:
-                kmin = kmax = None
+                kmin = kmax = omin = omax = None
                 has_del = True
                 break
             kmin = st.min if kmin is None else min(kmin, st.min)
             kmax = st.max if kmax is None else max(kmax, st.max)
+            ost = md.row_group(rg).column(idx[order_col]).statistics
+            if ost is not None and ost.has_min_max:
+                o_lo = cls._order_micros(ost.min)
+                o_hi = cls._order_micros(ost.max)
+                omin = o_lo if omin is None else min(omin, o_lo)
+                omax = o_hi if omax is None else max(omax, o_hi)
             dst = md.row_group(rg).column(idx[_DELETED]).statistics
             has_del = has_del or dst is None or not dst.has_min_max or bool(dst.max)
-        return kmin, kmax, has_del
+        return kmin, kmax, has_del, omin, omax
 
     # ------------------------------------------------------------------
     # maintenance (snapshot expiry — Iceberg's expire_snapshots; the

@@ -333,3 +333,27 @@ def test_exact_probe_prunes_beyond_ranges(spark, tmpdir_path):
     got_r = {(r.url, r.text) for r in t_range.read().collect()}
     got_e = {(r.url, r.text) for r in t_exact.read().collect()}
     assert got_r == got_e and ("u000", "x") in got_e
+
+
+def test_order_column_file_skipping(spark, tmpdir_path):
+    """Manifest-level order-column (event-time) skipping: files whose
+    warc_ts range cannot intersect the requested window are never
+    opened; pruned-scan + filter equals plain filter (no false
+    negatives). Keys here correlate with time so per-file ranges are
+    disjoint — the case metrics skipping is for."""
+    import os
+
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), SCHEMA,
+                         n_buckets=1, max_file_rows=4)
+    t.merge(ev(spark, [(i, "I", f"u{i:03d}", T(i), f"t{i}") for i in range(40)]), "b1")
+    c = t.commit()
+    assert len(c["files"]) >= 8
+    assert all(f["min_order"] is not None for f in c["files"])
+    sel = t._select_files(c, None, T(30), None)
+    assert 0 < len(sel) < len(c["files"])
+    got = t.read(order_min=T(30)).filter(F.col("warc_ts") >= T(30)).count()
+    assert got == 10
+    window = t.read(order_min=T(30), order_max=T(35)).filter(
+        (F.col("warc_ts") >= T(30)) & (F.col("warc_ts") <= T(35))
+    )
+    assert window.count() == 6
