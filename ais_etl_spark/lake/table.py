@@ -849,9 +849,10 @@ class LakeTable:
                 "max_key": kmax,
                 "min_order": omin,
                 "max_order": omax,
+                "n_rows": n_rows,
                 "has_del": has_del,
             }
-            for (rel_path, bucket, _), (kmin, kmax, has_del, omin, omax)
+            for (rel_path, bucket, _), (kmin, kmax, has_del, omin, omax, n_rows)
             in zip(work, stats)
         ]
 
@@ -867,7 +868,7 @@ class LakeTable:
         try:
             md = pq.ParquetFile(path).metadata
         except Exception:
-            return None, None, True, None, None
+            return None, None, True, None, None, None
         idx = {
             md.row_group(0).column(i).path_in_schema: i
             for i in range(md.num_columns)
@@ -890,7 +891,7 @@ class LakeTable:
                 omax = o_hi if omax is None else max(omax, o_hi)
             dst = md.row_group(rg).column(idx[_DELETED]).statistics
             has_del = has_del or dst is None or not dst.has_min_max or bool(dst.max)
-        return kmin, kmax, has_del, omin, omax
+        return kmin, kmax, has_del, omin, omax, md.num_rows
 
     # ------------------------------------------------------------------
     # maintenance (snapshot expiry — Iceberg's expire_snapshots; the
@@ -980,6 +981,53 @@ class LakeTable:
         self._write_commit(commit)
         return {"files_rewritten": len(hit), "files_carried": len(carry),
                 "rows_dropped": dropped}
+
+    def table_stats(self) -> dict:
+        """Metadata-only table statistics from the manifest (no scan):
+        total rows (tombstones included — live count needs a scan),
+        file count, and per-bucket {files, rows, avg_rows}. ``None``
+        row counts (pre-stats files) surface as 0 with
+        ``files_unstated`` counting them."""
+        c = self.commit()
+        per_bucket: dict[int, dict] = {}
+        unstated = 0
+        for f in c["files"]:
+            b = per_bucket.setdefault(f["bucket"], {"files": 0, "rows": 0})
+            b["files"] += 1
+            if f.get("n_rows") is None:
+                unstated += 1
+            else:
+                b["rows"] += f["n_rows"]
+        for b in per_bucket.values():
+            b["avg_rows"] = b["rows"] // b["files"] if b["files"] else 0
+        return {
+            "snapshot_id": c["snapshot_id"],
+            "total_rows": sum(b["rows"] for b in per_bucket.values()),
+            "total_files": len(c["files"]),
+            "files_unstated": unstated,
+            "buckets": per_bucket,
+        }
+
+    def compact_small_files(self, small_ratio: float = 0.25) -> dict:
+        """Targeted compaction: rewrite ONLY the buckets whose average
+        file is below ``small_ratio × max_file_rows`` (or whose files
+        lack stats), carrying healthy buckets untouched — the
+        maintenance loop's default instead of a full rewrite. Pure
+        manifest arithmetic to pick targets; returns compact()'s
+        result plus the chosen buckets."""
+        c = self.commit()
+        threshold = max(int(c.get("max_file_rows", 1 << 20) * small_ratio), 1)
+        stats = self.table_stats()["buckets"]
+        targets = sorted(
+            b for b, s in stats.items()
+            if s["files"] > 1 and (s["avg_rows"] < threshold or s["rows"] == 0)
+        )
+        if not targets:
+            return {"files_before": len(c["files"]),
+                    "files_after": len(c["files"]), "buckets": []}
+        res = self.compact(buckets=targets)
+        res["buckets"] = targets
+        return res
 
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Small-file compaction (Iceberg's rewrite_data_files): rewrite

@@ -204,7 +204,10 @@ def run_ingest(
         )
         applied["n"] += 1
         if maintenance_every and applied["n"] % maintenance_every == 0:
-            table.compact()
+            # targeted: rewrite only buckets that accumulated small
+            # per-batch files — a full-table rewrite every N batches
+            # would be O(table) maintenance at 100 TB
+            table.compact_small_files()
             table.expire_snapshots(keep_last=keep_snapshots)
 
     q = (

@@ -357,3 +357,33 @@ def test_order_column_file_skipping(spark, tmpdir_path):
         (F.col("warc_ts") >= T(30)) & (F.col("warc_ts") <= T(35))
     )
     assert window.count() == 6
+
+
+def test_table_stats_and_targeted_compaction(spark, tmpdir_path):
+    """Metadata-only stats + compact_small_files rewrites ONLY the
+    buckets fragmented by small per-batch files."""
+    import os
+
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), SCHEMA,
+                         n_buckets=2, max_file_rows=100)
+    t.merge(ev(spark, [(i, "I", f"u{i:03d}", T(i), f"t{i}") for i in range(60)]), "b1")
+    # tiny merges with NEW keys outside existing file ranges: no hit
+    # files -> each adds a one-row file (the fragmentation pattern;
+    # hits would consolidate instead)
+    for j in range(4):
+        t.merge(ev(spark, [(100 + j, "I", f"v{j:03d}", T(100 + j), "x")]),
+                f"s{j}")
+    stats = t.table_stats()
+    assert stats["total_rows"] == sum(
+        f["n_rows"] for f in t.commit()["files"])
+    assert stats["files_unstated"] == 0
+    before = stats["total_files"]
+    assert before > 2  # fragmentation really happened
+    res = t.compact_small_files(small_ratio=0.25)
+    assert res["buckets"]  # something was fragmented and chosen
+    assert res["files_after"] < before
+    got = {r.url: r.text for r in t.read().collect()}
+    assert got["v000"] == "x" and len(got) == 64
+    # healthy layout -> second pass is a no-op
+    res2 = t.compact_small_files(small_ratio=0.25)
+    assert res2["buckets"] == []
