@@ -303,6 +303,79 @@ def test_changes_matches_snapshot_diff_property(spark, batches, do_compact):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),
+                st.integers(min_value=0, max_value=30),
+                st.sampled_from(["I", "U", "D"]),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_merge_replay_equality_and_idempotence_property(spark, batches):
+    """THE correctness bar (BASELINE.json) as a hypothesis property:
+    for arbitrary batch splits, orders, duplicates, and deletes, the
+    incrementally merged table equals a python full-replay LWW
+    reference, and re-applying any batch (same batch_id) is a no-op."""
+    import shutil
+    import tempfile
+
+    from ais_etl_spark.lake import LakeTable
+
+    t0 = dt.datetime(2026, 1, 1)
+    tmp = tempfile.mkdtemp(prefix="prop-replay-")
+    try:
+        table = LakeTable.create(
+            spark,
+            tmp + "/t",
+            [("url", "string"), ("warc_ts", "timestamp"), ("text", "string")],
+            key="url",
+            order_col="warc_ts",
+            n_buckets=4,
+        )
+        eid = 0
+        all_rows = []
+        for bi, batch in enumerate(batches):
+            rows = []
+            for k, ts, op in batch:
+                rows.append(
+                    (eid, op, f"u{k}", t0 + dt.timedelta(seconds=ts),
+                     None if op == "D" else f"t{eid}")
+                )
+                eid += 1
+            all_rows.extend(rows)
+            df = spark.createDataFrame(
+                rows,
+                "event_id long, op string, url string, warc_ts timestamp, text string",
+            )
+            table.merge(df, batch_id=f"b{bi}")
+            snap = table.current_snapshot_id()
+            assert table.merge(df, batch_id=f"b{bi}") == {}  # replay no-op
+            assert table.current_snapshot_id() == snap
+
+        expect = {}
+        for e, op, url, ts, text in all_rows:
+            cur = expect.get(url)
+            if cur is None or (ts, e) > (cur[0], cur[1]):
+                expect[url] = (ts, e, op, text)
+        want = {
+            (url, ts, text)
+            for url, (ts, e, op, text) in expect.items()
+            if op != "D"
+        }
+        got = {(r.url, r.warc_ts, r.text) for r in table.read().collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=10))
 @settings(max_examples=6, deadline=None)
 def test_fingerprint_matches_python_oracle(spark, texts):
