@@ -1068,6 +1068,47 @@ def q_tf_audio_trim(spark, sf_dir):
     )
 
 
+def _resample_window_sql(j: int) -> str:
+    # 8 kHz -> 16 kHz nearest mapping: out[i] = s[i // 2]
+    lo, hi = 4000 * j, 4000 * j + 3999
+    return (
+        f"CAST(list_sum(list_transform(generate_series({lo}, {hi}), "
+        f"i -> abs(((doc_id*7 + (i // 2)*13) % 2001) - 1000))) AS BIGINT)"
+    )
+
+
+@_q(
+    "tf_audio_resample",
+    "SELECT doc_id, "
+    + ", ".join(f"{_resample_window_sql(j)} AS w{j}" for j in range(4))
+    + " FROM documents",
+)
+def q_tf_audio_resample(spark, sf_dir):
+    """FFmpeg AR analog on real samples: synth 1 s 8 kHz WAV →
+    nearest-sample resample to 16 kHz → windowed |sample| sums, through
+    real RIFF/WAVE encode/decode; the oracle evaluates the index
+    mapping (out[i] = s[i // 2]) on the sample formula."""
+    from ais_etl_spark.transforms import audio
+    from ais_etl_spark.transforms.spec import compile_pipeline
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("payload", audio.synth_wav_udf(8000, 1)(F.col("doc_id")))
+    out = compile_pipeline(
+        d,
+        [
+            {"op": "audio_resample", "rate": 16000},
+            {"op": "audio_window_sums", "window": 4000},
+        ],
+    )
+    return out.select(
+        "doc_id",
+        *[
+            F.element_at("window_sums", j + 1).cast("bigint").alias(f"w{j}")
+            for j in range(4)
+        ],
+    )
+
+
 @_q(
     "tf_slice_args",
     """SELECT doc_id,
