@@ -52,10 +52,7 @@ def normalize_ws_py(text: str) -> str:
     return _JAVA_WS_RE.sub(" ", text.strip(" ")).lower()
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: count distinct marker-word hits per
-    language over the token set; argmax with fixed tie order (en > de >
-    fr > es > zh). One projection — no shuffle, no UDF."""
+def _lang_cols(text_col: str) -> list:
     t = F.array_distinct(tokens(F.col(text_col)))
     scores = {
         lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
@@ -66,12 +63,17 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     pred = F.lit(None).cast("string")
     for lg in reversed(langs):  # earlier langs win ties → apply last
         pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
-    out = df.select(
-        F.col(id_col),
+    return [
         *[scores[lg].alias(f"score_{lg}") for lg in langs],
         F.when(best > 0, pred).otherwise(F.lit("unknown")).alias("pred_lang"),
-    )
-    return out
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count distinct marker-word hits per
+    language over the token set; argmax with fixed tie order (en > de >
+    fr > es > zh). One projection — no shuffle, no UDF."""
+    return df.select(F.col(id_col), *_lang_cols(text_col))
 
 
 def quality_stats(
@@ -80,6 +82,10 @@ def quality_stats(
     """Per-doc quality features: length, word count, mean word length,
     punctuation ratio, stopword ratio, plus a boolean keep flag with
     C4-style thresholds. Pure projections."""
+    return df.select(F.col(id_col), *_quality_cols(text_col))
+
+
+def _quality_cols(text_col: str) -> list:
     t = tokens(F.col(text_col))
     n_chars = F.length(F.col(text_col))
     n_words = F.size(t)
@@ -95,8 +101,7 @@ def quality_stats(
     )
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars_text"),
         n_words.alias("n_words"),
         mean_wlen.alias("mean_word_len"),
@@ -108,7 +113,7 @@ def quality_stats(
             & (mean_wlen <= 12.0)
             & (punct_ratio <= 0.2)
         ).alias("keep"),
-    )
+    ]
 
 
 def token_counts(
@@ -117,16 +122,24 @@ def token_counts(
     """Token counting: whitespace tokens, word tokens, BPE-ish regex
     tokens, distinct-word count. The per-corpus token total is one
     map-side-combined sum away."""
+    return df.select(F.col(id_col), *_token_cols(text_col))
+
+
+def _token_cols(text_col: str) -> list:
     ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
     words = tokens(F.col(text_col))
     bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0))
-    return df.select(
-        F.col(id_col),
+    return [
         ws.alias("n_ws_tokens"),
         F.size(words).alias("n_word_tokens"),
         bpe.alias("n_bpe_tokens"),
         F.size(F.array_distinct(words)).alias("n_distinct_words"),
-    )
+    ]
+
+
+def _fingerprint_col(text_col: str) -> "F.Column":
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    return F.md5(norm).alias("fingerprint")
 
 
 def fingerprint_md5(
@@ -134,8 +147,23 @@ def fingerprint_md5(
 ) -> DataFrame:
     """Whitespace-normalized md5 fingerprint — the cheap exact-dup key
     (case-fold + collapse whitespace, then md5)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
-    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    return df.select(F.col(id_col), _fingerprint_col(text_col))
+
+
+def doc_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All four per-doc text-analysis operators — language ID, quality
+    features, token counts, md5 fingerprint — as ONE wide projection
+    (no join, no shuffle): the single-pass shape a 100 TB curation
+    sweep wants, and one gate query instead of four."""
+    return df.select(
+        F.col(id_col),
+        *_lang_cols(text_col),
+        *_quality_cols(text_col),
+        *_token_cols(text_col),
+        _fingerprint_col(text_col),
+    )
 
 
 def winnow_fingerprint_udf(k: int = 5, window: int = 4):

@@ -100,7 +100,7 @@ def run_ingest_bench(spark, n_events: int, n_buckets: int = 64) -> dict:
 
 
 QUERY_NAMES = [
-    "cdc_lww_agg_parity",
+    "cdc_lww_snapshot",
     "cdc_snapshot_by_lang",
     "cdc_engine_replay",
     "cdc_changelog",
@@ -110,13 +110,13 @@ QUERY_NAMES = [
     "rel_top_orders_per_customer",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
-    "txt_quality",
-    "txt_token_counts",
+    "dedup_ngram_jaccard",
+    "txt_doc_profile",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_lsh_topk",
 ]
 
 
