@@ -209,6 +209,21 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _candidate_shingle_matches(
+    a: DataFrame, b: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """(doc_a, doc_b, s) rows: one per candidate pair per shared
+    shingle. Work is bounded by |candidates| × shingles-per-doc
+    regardless of how many documents share any single shingle — the
+    viral-shingle-proof join order (see test_dedup.py bound test).
+    No broadcast hint: the candidate set grows with the corpus; AQE
+    still picks broadcast when the actual size is small."""
+    cand = candidates.select("doc_a", "doc_b").filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    return cand.join(a, "doc_a").join(b, ["doc_b", "s"])
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -232,15 +247,19 @@ def ngram_jaccard_pairs(
 
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
     if candidates is not None:
-        # no broadcast hint: the candidate set grows with the corpus, so
-        # forcing it OOMs above the broadcast threshold at scale. AQE
-        # still picks broadcast when the actual size is small.
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # Restrict to candidate pairs BEFORE any shingle-equality join:
+        # candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b) on (doc_b, s)
+        # bounds the intersect stage to |candidates| × shingles-per-doc.
+        # The naive order (inverted-index self-join first, semi-join
+        # after) re-opens the n² blowup the LSH chain exists to kill —
+        # one viral boilerplate shingle shared by 10^6 docs would
+        # stream ~5·10^11 pairs through the late filter, since Catalyst
+        # does not push a pair-level semi-join inside the equi-join.
+        inter = _candidate_shingle_matches(a, b, candidates)
+    else:
+        # exact all-pairs-with-shared-shingle — test scale only
+        inter = a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
     inter = inter.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
 
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))

@@ -193,3 +193,44 @@ def test_embedding_cosine_pairs(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in
            D.embedding_cosine_pairs(vecs, threshold=0.99).collect()}
     assert got == {(0, 1)}
+
+
+def test_viral_shingle_verify_stage_bounded(spark):
+    """One shingle shared by ALL docs must not quadratically inflate
+    the verify stage: the candidate pairs are joined to the shingle
+    lists BEFORE the shingle-equality join, so the intersect-stage
+    row count is exactly |matching (pair, shingle)| ≤ |candidates| ×
+    shingles-per-doc — here 3 pairs × ≤13 shingles — while the naive
+    inverted-index self-join would stream ~n²/2 = 4950 pairs through
+    the viral shingle alone."""
+    n = 100
+    # every doc contains the viral phrase; each doc adds a unique tail
+    rows = [(i, f"the quick brown fox jumps over doc {i} tail {i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    sh = docs.select(
+        "doc_id", F.explode_outer(D.shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    per_doc = sh.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+
+    stage_rows = D._candidate_shingle_matches(a, b, cand).count()
+    assert stage_rows <= 3 * per_doc  # bounded by candidates, not n²
+    naive_rows = a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b")).count()
+    assert naive_rows > n * (n - 1) / 2  # the blowup the order avoids
+
+    # and the final operator output is identical to the exact Jaccard
+    # restricted to the candidate pairs
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, candidates=cand).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+        if (r.doc_a, r.doc_b) in {(0, 1), (2, 3), (4, 5)}
+    }
+    assert got == exact
