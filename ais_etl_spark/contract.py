@@ -9,9 +9,11 @@ green (it sorts columns by name and hashes values):
 - timestamps exported as epoch millis (``unix_millis`` ↔ ``epoch_ms``);
 - double aggregates summed as DECIMAL(18,4) then cast back to DOUBLE —
   decimal addition is exact, so partial-agg order cannot skew fp sums;
-- per-row double arithmetic (cosines) uses sequential fold-left in both
-  engines and is rounded to 6 dp *before* any ranking, so fp noise
-  cannot flip ranks;
+- cosine scoring is quantized-exact: components → floor(x·10⁶+0.5)
+  int64, integer dot/norms (order-independent), one IEEE float64
+  division, explicit 6-dp floor-round before any ranking — identical
+  bits in both engines with no margin argument (IVF alone keeps the
+  older sequential fold-left arithmetic, transliterated end to end);
 - counts/sizes cast to BIGINT on both sides (DuckDB sums are HUGEINT,
   Spark sizes are INT);
 - REAL codec paths (PNG raster, WAV audio) hash-check by synthesizing
@@ -1649,10 +1651,36 @@ _DOT = (
 
 
 def _cos_sql(a: str, b: str) -> str:
+    """Fold-left double cosine — used ONLY by the IVF oracle, whose
+    Spark twin still runs the sequential F.aggregate arithmetic."""
     return (
         f"{_DOT.format(a=a, b=b)} / "
         f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
     )
+
+
+# Quantized-exact cosine (twin of similarity.quantized_cosine_udf):
+# components → floor(x·10⁶+0.5) int64, integer dot/norms (exact,
+# order-independent), float64 division + sqrts (IEEE-identical in
+# numpy/DuckDB), explicit 6-dp floor-round before ranking. No engine
+# round() tie rule and no fp-margin argument anywhere in the chain.
+_QDOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST(floor({a}[i] * 1000000 + 0.5) AS BIGINT)"
+    " * CAST(floor({b}[i] * 1000000 + 0.5) AS BIGINT)))"
+)
+
+
+def _qcos_sql(a: str, b: str) -> str:
+    return (
+        f"(CAST({_QDOT.format(a=a, b=b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_QDOT.format(a=a, b=a)} AS DOUBLE))"
+        f" * sqrt(CAST({_QDOT.format(a=b, b=b)} AS DOUBLE))))"
+    )
+
+
+def _round6_sql(x: str) -> str:
+    return f"(floor(({x}) * 1000000 + 0.5) / 1000000)"
 
 
 def _lsh_bucket_sql(dim: int = 64, nbits: int = 4) -> str:
@@ -1683,9 +1711,9 @@ def _lsh_bucket_sql(dim: int = 64, nbits: int = 4) -> str:
     "dedup_embedding_cosine",
     f"""WITH {_lsh_bucket_sql(64, 4)}
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       ROUND({_cos_sql('a.e', 'b.e')}, 6) AS cosine
+       {_round6_sql(_qcos_sql('a.e', 'b.e'))} AS cosine
 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE ROUND({_cos_sql('a.e', 'b.e')}, 6) >= 0.2""",
+WHERE {_round6_sql(_qcos_sql('a.e', 'b.e'))} >= 0.2""",
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup via the 100 TB chain: LSH-bucket candidate
@@ -1711,7 +1739,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
 scored AS (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-         ROUND({_cos_sql('v.e', 'q.e')}, 6) AS cosine
+         {_round6_sql(_qcos_sql('v.e', 'q.e'))} AS cosine
   FROM v CROSS JOIN q WHERE v.vec_id <> q.vec_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1812,7 +1840,7 @@ def q_sim_ivf_topk(spark, sf_dir):
 q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM bk WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, bk.vec_id AS neighbor_id,
-         ROUND({_cos_sql('bk.e', 'q.qv')}, 6) AS cosine
+         {_round6_sql(_qcos_sql('bk.e', 'q.qv'))} AS cosine
   FROM bk JOIN q ON bk.bucket = q.bucket WHERE bk.vec_id <> q.query_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id

