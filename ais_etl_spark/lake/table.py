@@ -447,8 +447,58 @@ class LakeTable:
                 or f["min_key"] <= key_value <= f["max_key"]
             )
         ]
+        if len(hits) <= self.LOOKUP_DRIVER_MAX_FILES:
+            return self._lookup_driver_side(c, hits, key_value)
         out = self._entries_df(c, hits).filter(F.col(c["key"]) == key_value)
         return out.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
+
+    # point reads touch 1-2 small bucket files after pruning; a Spark
+    # scan job costs seconds of fixed overhead at any cluster size,
+    # while a driver-side pyarrow read of the same files is
+    # milliseconds. Above this file count, fall back to the scan.
+    LOOKUP_DRIVER_MAX_FILES = 16
+
+    def _lookup_driver_side(self, c: dict, hits: list[dict], key_value):
+        """Serve the point read without a Spark job: pyarrow-read the
+        (manifest-pruned, ≤LOOKUP_DRIVER_MAX_FILES) covering files on
+        the driver with the key predicate pushed to row-group stats,
+        apply the same schema-version column-id mapping as
+        _entries_df, and return the rows as a literal DataFrame.
+        Same output as the scan path (hash-checked by the
+        cdc_point_lookup gate); only the physical strategy differs."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cur_cols = self.schema_cols(c)
+        key_id = next(x["id"] for x in cur_cols if x["name"] == c["key"])
+        frames: list[pd.DataFrame] = []
+        for f in hits:
+            old_cols = {x["id"]: x for x in c["schemas"][f["schema_version"]]}
+            if key_id not in old_cols:
+                continue  # file predates the key column: cannot match
+            phys_key = old_cols[key_id]["name"]
+            t = pq.read_table(
+                os.path.join(self.path, f["path"]),
+                filters=[(phys_key, "==", key_value), (_DELETED, "==", False)],
+            )
+            if t.num_rows == 0:
+                continue
+            pdf = t.to_pandas()
+            out = {}
+            for col in cur_cols:
+                if col["id"] in old_cols:
+                    out[col["name"]] = pdf[old_cols[col["id"]]["name"]]
+                else:
+                    out[col["name"]] = pd.Series(
+                        [None] * len(pdf), dtype="object"
+                    )
+            frames.append(pd.DataFrame(out))
+        ddl = self.spark_schema_ddl()
+        if not frames:
+            return self.spark.createDataFrame([], ddl)
+        return self.spark.createDataFrame(
+            pd.concat(frames, ignore_index=True), schema=ddl
+        )
 
     # ------------------------------------------------------------------
     # MERGE (the CDC apply)
