@@ -104,6 +104,21 @@ class LakeTable:
         ``max_file_rows`` caps rows per data file — files are written
         key-sorted and split at this bound, which is what makes merge
         rewrites file-granular inside a bucket."""
+        _KEY_TYPES = {
+            "string", "int", "bigint", "smallint", "tinyint",
+            "long", "integer", "short", "byte", "double", "float",
+        }
+        key_type = next((t for n, t in schema if n == key), None)
+        if key_type is None:
+            raise ValueError(f"key column {key!r} not in schema")
+        if key_type.lower() not in _KEY_TYPES:
+            # the manifest stores per-file/per-batch key min/max as
+            # JSON, and the driver-side range pruning compares the raw
+            # Python values — both hold for string/numeric keys only
+            raise ValueError(
+                f"unsupported key type {key_type!r}: manifest key stats "
+                f"require a string or numeric key column"
+            )
         os.makedirs(os.path.join(path, _COMMITS), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
         cols = [Column(i, n, t).__dict__ for i, (n, t) in enumerate(schema)]
@@ -294,9 +309,14 @@ class LakeTable:
             return None
         if isinstance(dt_value, (int, float)):
             return int(dt_value)
-        return int(
-            dt_value.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
-        )
+        if dt_value.tzinfo is not None:
+            # tz-aware input must be CONVERTED, not wall-clock
+            # relabeled — replace() would shift the pruning bounds by
+            # the utcoffset
+            dt_value = dt_value.astimezone(_dt.timezone.utc)
+        else:
+            dt_value = dt_value.replace(tzinfo=_dt.timezone.utc)
+        return int(dt_value.timestamp() * 1_000_000)
 
     def _select_files(self, c: dict, buckets, order_min, order_max) -> list[dict]:
         files = c["files"]
@@ -600,9 +620,11 @@ class LakeTable:
            whole per-merge Spark job (distinct keys + broadcast range
            join) from the commit path, which at high core counts cost
            more in fixed job overhead than the IO it saved. The
-           driver-side comparison also works for ANY orderable key type
-           (collected values and parquet footer stats share the key's
-           Python type) — no hardcoded string schema.
+           driver-side comparison works for every key type create()
+           admits — string and numeric keys (enforced there, because
+           the manifest serializes key min/max as JSON); collected
+           values and parquet footer stats share the key's Python
+           type, so no string-schema special-casing here.
 
         Every key in the batch has a winner, so raw-event buckets ==
         winner buckets."""
@@ -925,6 +947,7 @@ class LakeTable:
         }
         kmin = kmax = omin = omax = None
         has_del = False
+        order_covered = True  # False once ANY row group lacks order stats
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[key]).statistics
             if st is None or not st.has_min_max:
@@ -939,8 +962,17 @@ class LakeTable:
                 o_hi = cls._order_micros(ost.max)
                 omin = o_lo if omin is None else min(omin, o_lo)
                 omax = o_hi if omax is None else max(omax, o_hi)
+            else:
+                # a stat-less row group may hold ANY order value: a
+                # partial min/max would let read(order_min/order_max)
+                # prune a file that still contains in-range rows.
+                # Degrade the WHOLE file to no-order-stats = always-hit
+                # (mirrors the key-stat break-to-None path).
+                order_covered = False
             dst = md.row_group(rg).column(idx[_DELETED]).statistics
             has_del = has_del or dst is None or not dst.has_min_max or bool(dst.max)
+        if not order_covered:
+            omin = omax = None
         return kmin, kmax, has_del, omin, omax, md.num_rows
 
     # ------------------------------------------------------------------

@@ -92,9 +92,16 @@ def run_ingest_bench(spark, n_events: int, n_buckets: int = 64) -> dict:
                     "snapshot_id": lineage.get("snapshot_id"),
                 }
             )
-        best = max(runs, key=lambda r: r["events_per_sec"])
-        best["raw_ingest_sec"] = [r["ingest_sec"] for r in runs]
-        return best
+        # Headline = MEDIAN of the timed runs, not best-of: this VM's
+        # sustained-load throughput drifts 3-6x over minutes (vCPU
+        # steal), so the best-of overstates what an arbitrary driver
+        # run can reproduce. The best and all raw runs are still
+        # reported so capability vs drift stays visible in the record.
+        by_rate = sorted(runs, key=lambda r: r["events_per_sec"])
+        med = dict(by_rate[len(runs) // 2])
+        med["raw_ingest_sec"] = [r["ingest_sec"] for r in runs]
+        med["best_events_per_sec"] = by_rate[-1]["events_per_sec"]
+        return med
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -387,3 +387,63 @@ def test_table_stats_and_targeted_compaction(spark, tmpdir_path):
     # healthy layout -> second pass is a no-op
     res2 = t.compact_small_files(small_ratio=0.25)
     assert res2["buckets"] == []
+
+
+def test_footer_stats_partial_order_stats_degrade_whole_file(tmp_path):
+    """If ANY row group lacks order-column stats, the file's
+    min_order/max_order must be None (always-hit): a partial range
+    from the covered row groups could wrongly prune a file whose
+    stat-less row groups still hold in-range rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ais_etl_spark.lake.table import LakeTable as LT
+    from ais_etl_spark.lake.table import _DELETED
+
+    ts = dt.datetime(2024, 1, 1)
+    good = pa.table(
+        {
+            "url": ["a", "b"],
+            "warc_ts": pa.array([ts, ts], pa.timestamp("us")),
+            _DELETED: [False, False],
+        }
+    )
+    # all-null order column in the second row group → no min/max stats
+    nostats = pa.table(
+        {
+            "url": ["c", "d"],
+            "warc_ts": pa.array([None, None], pa.timestamp("us")),
+            _DELETED: [False, False],
+        }
+    )
+    p = str(tmp_path / "f.parquet")
+    with pq.ParquetWriter(p, good.schema) as w:
+        w.write_table(good)
+        w.write_table(nostats)
+    md = pq.ParquetFile(p).metadata
+    assert md.num_row_groups == 2
+    kmin, kmax, _hd, omin, omax, n = LT._footer_stats(p, "url", "warc_ts")
+    assert (kmin, kmax, n) == ("a", "d", 4)
+    assert omin is None and omax is None  # not a partial covering range
+
+
+def test_order_micros_tz_aware_converted_not_relabeled():
+    from ais_etl_spark.lake.table import LakeTable as LT
+
+    naive = dt.datetime(2024, 1, 1, 12, 0, 0)
+    utc = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    plus2 = dt.datetime(
+        2024, 1, 1, 14, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=2))
+    )  # same instant as 12:00 UTC
+    assert LT._order_micros(naive) == LT._order_micros(utc)
+    assert LT._order_micros(plus2) == LT._order_micros(utc)
+
+
+def test_create_rejects_non_json_key_type(spark, tmp_path):
+    with pytest.raises(ValueError, match="key type"):
+        LakeTable.create(
+            spark,
+            str(tmp_path / "t"),
+            [("k", "timestamp"), ("v", "string"), ("warc_ts", "timestamp")],
+            key="k",
+        )

@@ -391,3 +391,83 @@ def test_fingerprint_matches_python_oracle(spark, texts):
         # used str.split(), which hypothesis falsified with '\x1f'
         # (unicode whitespace to Python, not to the JVM regex)
         assert got[i] == hashlib.md5(normalize_ws_py(t).encode()).hexdigest(), repr(t)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=2, max_value=4),
+    st.data(),
+)
+@settings(max_examples=4, deadline=None)
+def test_ingest_kill_resume_property(spark, seed, n_chunks, killpoint):
+    """Kill/resume as a property (mirrors the batch-merge replay
+    property above, for the STREAMING loop): for random feeds, random
+    segmentations, and a random kill after k applied micro-batches —
+    injected by a transform that raises before the (k+1)-th batch's
+    merge commits — resuming from the same checkpoint yields exactly
+    the full-replay LWW state, every (batch, source_part) lineage pair
+    is applied once, and a further resume with no new data is a
+    snapshot no-op."""
+    import os
+    import shutil
+    import tempfile
+
+    from ais_etl_spark.feed import synth_cdc_feed
+    from ais_etl_spark.operators.lww import lww_latest
+    from ais_etl_spark.streaming import run_ingest, write_feed_chunks
+    from ais_etl_spark.streaming.ingest import enrich_events
+
+    tmp = tempfile.mkdtemp(prefix="prop-killresume-")
+    try:
+        feed = synth_cdc_feed(
+            spark, n_events=300, n_urls=50, seed=seed
+        ).cache()
+        feed_dir = os.path.join(tmp, "feed")
+        tbl_dir = os.path.join(tmp, "tbl")
+        ckpt = os.path.join(tmp, "ckpt")
+        write_feed_chunks(feed, feed_dir, n_chunks)
+        kill_after = killpoint.draw(
+            st.integers(min_value=0, max_value=n_chunks - 1), label="kill_after"
+        )
+
+        state = {"n": 0}
+
+        def poison(df):
+            # raises BEFORE the (kill_after+1)-th merge commits — the
+            # stream dies with kill_after batches durably applied
+            if state["n"] >= kill_after:
+                raise RuntimeError("injected kill")
+            state["n"] += 1
+            return enrich_events(df)
+
+        died = False
+        try:
+            run_ingest(
+                spark, feed_dir, tbl_dir, ckpt,
+                max_files_per_trigger=1, transform=poison,
+            )
+        except Exception:
+            died = True
+        assert died  # kill_after < n_chunks <= micro-batch count
+
+        # resume from the same checkpoint (normal transform)
+        tbl = run_ingest(spark, feed_dir, tbl_dir, ckpt)
+
+        expected = (
+            lww_latest(enrich_events(feed))
+            .filter("op <> 'D'")
+            .select("url", "warc_ts", "text", "lang")
+        )
+        actual = tbl.read().select("url", "warc_ts", "text", "lang")
+        assert expected.exceptAll(actual).count() == 0
+        assert actual.exceptAll(expected).count() == 0
+
+        pairs = [(r.batch_id, r.source_part) for r in tbl.lineage().collect()]
+        assert len(pairs) == len(set(pairs))  # no double-apply
+
+        snap = tbl.current_snapshot_id()
+        tbl = run_ingest(spark, feed_dir, tbl_dir, ckpt)
+        assert tbl.current_snapshot_id() == snap
+        feed.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
