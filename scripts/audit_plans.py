@@ -49,7 +49,12 @@ CHECKS = {
         ("hash aggregate (not sort)", "HashAggregate"),
     ],
     "sim_cosine_topk": [
-        ("query side broadcast (no corpus shuffle)", "BroadcastExchange"),
+        # partial-top-k shape: one scoring pass over the corpus (queries
+        # shipped in the UDF closure), local top-k per Arrow batch, so
+        # no join against the corpus and no full-sort of scored rows —
+        # the window ranks n_batches*q*k survivors only
+        ("single mapInPandas scoring pass", "MapInPandas"),
+        ("no corpus-side join at all", "Join", False),
     ],
     "cdc_feed_derive": [
         ("projection-only plan (no shuffle)", "Project"),
