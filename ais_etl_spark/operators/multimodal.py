@@ -13,9 +13,11 @@ audio_splitter range trim
 (/root/reference/NeMo/.../audio_splitter/fastapi_server.py:65-119).
 
 The image/audio libs (PIL, ffmpeg, torchvision) are not in this
-container, so the *decode* step is either a clearly-marked
-``NotImplementedError`` (real mode) or a deterministic fake (test
-mode) — while everything Spark-side is real and tested: BinaryType
+container; PNG and baseline-JPEG decode are REAL anyway via the
+stdlib codecs (operators/png.py, operators/jpeg.py), other formats
+are either a clearly-marked ``NotImplementedError`` (real mode) or a
+deterministic fake (test mode) — and everything Spark-side is real
+and tested: BinaryType
 round-trip through Arrow, iterator-form ``mapInPandas`` (bounded
 memory per batch, the transform_stream analog), metadata struct
 schema, and pass-through routing on media type (the reference's
@@ -87,10 +89,10 @@ def _has_pil() -> bool:
 def _decode_image_features_real(payload: bytes, dim: int) -> list[float]:
     """Real decode path: decode → grayscale → dim×dim resize → per-row
     mean intensity. PIL when installed; otherwise the pure-stdlib
-    baseline-PNG codec (operators/png.py) handles PNG payloads, so ONE
-    real decode leg runs and is oracle-checked even in this codec-free
-    sandbox. Non-PNG without PIL stays a clearly-marked
-    NotImplementedError (JPEG entropy coding is out of scope)."""
+    codecs handle PNG (operators/png.py) AND baseline JPEG
+    (operators/jpeg.py, round 4) payloads — both real decode legs run
+    in this codec-free sandbox. Other formats (or progressive/
+    arithmetic JPEG) stay a clearly-marked NotImplementedError."""
     if _has_pil():  # pragma: no cover - lib absent in sandbox
         import io
 
@@ -99,23 +101,25 @@ def _decode_image_features_real(payload: bytes, dim: int) -> list[float]:
         img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
         px = list(img.getdata())
         return [sum(px[r * dim : (r + 1) * dim]) / (dim * 255.0) for r in range(dim)]
-    if bytes(payload[:4]) == _PNG_MAGIC:
+    if bytes(payload[:4]) == _PNG_MAGIC or bytes(payload[:3]) == _JPEG_MAGIC:
         from ais_etl_spark.operators import png
+        from ais_etl_spark.transforms.raster import decode_any
 
-        w, h, ch, rows = png.decode_png(bytes(payload))
+        w, h, ch, rows, _fmt = decode_any(bytes(payload))
         gray = png.to_gray(w, ch, rows)
         small = png.resize_box(w, h, 1, gray, dim, dim)
         return [sum(r) / (dim * 255.0) for r in small]
     raise NotImplementedError(
-        "non-PNG image decode requires PIL (not installed); "
+        "non-PNG/JPEG image decode requires PIL (not installed); "
         "use fake_decode=True for the deterministic test path"
     )
 
 
 def _resize_image_real(payload: bytes, width: int, height: int) -> bytes:
     """Real resize, preserving the source format: PIL when installed,
-    else the stdlib PNG codec (decode → box resample → re-encode) for
-    PNG payloads — the tar2tf Resize analog on actual pixels
+    else the stdlib codecs (decode → box resample → re-encode in the
+    source format) for PNG and baseline-JPEG payloads — the tar2tf
+    Resize analog on actual pixels
     (/root/reference/transformers/tar2tf/src/transforms/job.go:146-164)."""
     if _has_pil():  # pragma: no cover - lib absent in sandbox
         import io
@@ -127,15 +131,16 @@ def _resize_image_real(payload: bytes, width: int, height: int) -> bytes:
         out = io.BytesIO()
         img.resize((width, height)).save(out, format=fmt)
         return out.getvalue()
-    if bytes(payload[:4]) == _PNG_MAGIC:
+    if bytes(payload[:4]) == _PNG_MAGIC or bytes(payload[:3]) == _JPEG_MAGIC:
         from ais_etl_spark.operators import png
+        from ais_etl_spark.transforms.raster import decode_any, encode_fmt
 
-        w, h, ch, rows = png.decode_png(bytes(payload))
-        return png.encode_png(
-            width, height, ch, png.resize_box(w, h, ch, rows, width, height)
+        w, h, ch, rows, fmt = decode_any(bytes(payload))
+        return encode_fmt(
+            fmt, width, height, ch, png.resize_box(w, h, ch, rows, width, height)
         )
     raise NotImplementedError(
-        "non-PNG image resize requires PIL (not installed); "
+        "non-PNG/JPEG image resize requires PIL (not installed); "
         "use fake_decode=True for the deterministic test path"
     )
 

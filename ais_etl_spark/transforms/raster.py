@@ -33,6 +33,32 @@ from ais_etl_spark.operators import png
 from ais_etl_spark.transforms.builtin import xxhash64_py
 from ais_etl_spark.transforms.registry import register
 
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def decode_any(b: bytes):
+    """Magic-dispatched decode: (width, height, channels, rows, fmt).
+    PNG via operators/png.py, JPEG via the stdlib baseline codec
+    (operators/jpeg.py, round 4) — both REAL pixel paths; anything
+    else raises (same contract as before for unknown formats)."""
+    if bytes(b[:3]) == _JPEG_MAGIC:
+        from ais_etl_spark.operators import jpeg
+
+        w, h, ch, rows = jpeg.decode_jpeg(bytes(b))
+        return w, h, ch, rows, "jpeg"
+    w, h, ch, rows = png.decode_png(bytes(b))
+    return w, h, ch, rows, "png"
+
+
+def encode_fmt(fmt: str, w: int, h: int, ch: int, rows) -> bytes:
+    """Re-encode in the SOURCE format (the reference's transforms
+    preserve container format, tar2tf job.go:146-164)."""
+    if fmt == "jpeg":
+        from ais_etl_spark.operators import jpeg
+
+        return jpeg.encode_jpeg(w, h, ch, rows, quality=90)
+    return png.encode_png(w, h, ch, rows)
+
 
 def _rot90(w: int, h: int, ch: int, rows):
     """Clockwise quarter turn: out[r][c] = in[h-1-c][r]; dims swap."""
@@ -80,12 +106,12 @@ def t_img_rotate(df, src: str = "payload", angle: int = 90, seed: int = 42, **_)
         def one(b):
             if b is None:
                 return None
-            w, h, ch, rows = png.decode_png(bytes(b))
+            w, h, ch, rows, fmt = decode_any(b)
             a = angle
             if a == 0:  # tar2tf's random angle, made replay-deterministic
                 a = (90, 180, 270)[xxhash64_py(bytes(b), seed) % 3]
             nw, nh, out = rotate_raster(w, h, ch, rows, a)
-            return png.encode_png(nw, nh, ch, out)
+            return encode_fmt(fmt, nw, nh, ch, out)
 
         return data.map(one)
 
@@ -99,9 +125,9 @@ def t_img_resize(df, src: str = "payload", width: int = 64, height: int = 64, **
         def one(b):
             if b is None:
                 return None
-            w, h, ch, rows = png.decode_png(bytes(b))
-            return png.encode_png(
-                width, height, ch, png.resize_box(w, h, ch, rows, width, height)
+            w, h, ch, rows, fmt = decode_any(b)
+            return encode_fmt(
+                fmt, width, height, ch, png.resize_box(w, h, ch, rows, width, height)
             )
 
         return data.map(one)
@@ -116,8 +142,8 @@ def t_img_grayscale(df, src: str = "payload", **_):
         def one(b):
             if b is None:
                 return None
-            w, h, ch, rows = png.decode_png(bytes(b))
-            return png.encode_png(w, h, 1, png.to_gray(w, ch, rows))
+            w, h, ch, rows, fmt = decode_any(b)
+            return encode_fmt(fmt, w, h, 1, png.to_gray(w, ch, rows))
 
         return data.map(one)
 
@@ -131,7 +157,7 @@ def t_img_row_sums(df, src: str = "payload", dst: str = "row_sums", **_):
         def one(b):
             if b is None:
                 return None
-            _w, _h, _ch, rows = png.decode_png(bytes(b))
+            _w, _h, _ch, rows, _fmt = decode_any(b)
             return [sum(r) for r in rows]
 
         return data.map(one)

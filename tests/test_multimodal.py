@@ -39,9 +39,10 @@ def test_extract_features_fake(media):
 
 @pytest.mark.skipif(M._has_pil(), reason="PIL installed: real path active")
 def test_extract_features_real_mode_raises_without_pil(media):
-    # non-PNG (jpeg) payloads still raise without PIL — only the PNG
-    # leg has a stdlib fallback
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+    # TRUNCATED/invalid jpeg payloads still raise without PIL (the
+    # stdlib baseline-JPEG codec rejects them; round 4 — valid JPEGs
+    # now decode for real, see test_extract_features_real_jpeg_stdlib)
+    with pytest.raises(Exception):  # decode error surfaces as PythonException
         M.extract_features(media, fake_decode=False).collect()
 
 
@@ -208,3 +209,42 @@ def test_sample_frames(media):
     assert {r["media_id"] for r in frames} == {"aud1"}
     assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000]
     assert all(r["frame"][:4] == b"FRM1" for r in frames)
+
+
+@pytest.mark.skipif(M._has_pil(), reason="PIL installed: PIL path active instead")
+def test_extract_features_real_jpeg_stdlib(spark):
+    """REAL JPEG decode through Spark with zero codec libs (round 4,
+    operators/jpeg.py): a flat-128 gray JPEG decodes losslessly (all
+    DCT coefficients zero), so features are exactly 128/255 per row —
+    same exactness argument as the PNG twin above."""
+    from ais_etl_spark.operators import jpeg
+
+    flat = jpeg.encode_jpeg(
+        16, 16, 1, [bytearray([128] * 16) for _ in range(16)], quality=85
+    )
+    df = spark.createDataFrame(
+        [("j1", "image", flat, "jpeg", 16, 16, None)], M.MEDIA_SCHEMA
+    )
+    got = {r["media_id"]: r["feature"] for r in
+           M.extract_features(df, dim=8, fake_decode=False).collect()}
+    assert got["j1"] == pytest.approx([128 / 255.0] * 8)
+
+
+@pytest.mark.skipif(M._has_pil(), reason="PIL installed: PIL path active instead")
+def test_resize_images_real_jpeg_stdlib(spark):
+    """Real JPEG resize preserves the source FORMAT (re-encodes as
+    JPEG, the tar2tf format-preserving contract) and the flat tone."""
+    from ais_etl_spark.operators import jpeg
+
+    flat = jpeg.encode_jpeg(
+        16, 16, 1, [bytearray([128] * 16) for _ in range(16)], quality=85
+    )
+    df = spark.createDataFrame(
+        [("j1", "image", flat, "jpeg", 16, 16, None)], M.MEDIA_SCHEMA
+    )
+    out = M.resize_images(df, 8, 8, fake_decode=False).collect()[0]
+    assert out["meta_width"] == 8 and out["meta_height"] == 8
+    assert bytes(out["payload"][:3]) == b"\xff\xd8\xff"  # still a JPEG
+    w, h, ch, rows = jpeg.decode_jpeg(bytes(out["payload"]))
+    assert (w, h, ch) == (8, 8, 1)
+    assert all(b == 128 for r in rows for b in r)
