@@ -12,8 +12,9 @@ green (it sorts columns by name and hashes values):
 - cosine scoring is quantized-exact: components → floor(x·10⁶+0.5)
   int64, integer dot/norms (order-independent), one IEEE float64
   division, explicit 6-dp floor-round before any ranking — identical
-  bits in both engines with no margin argument (IVF alone keeps the
-  older sequential fold-left arithmetic, transliterated end to end);
+  bits in both engines with no margin argument (round 4: every cosine
+  in the contract, IVF included, uses this form; IVF's k-means
+  training means additionally stay exact-decimal);
 - counts/sizes cast to BIGINT on both sides (DuckDB sums are HUGEINT,
   Spark sizes are INT);
 - REAL codec paths (PNG raster, WAV audio) hash-check by synthesizing
@@ -1657,20 +1658,6 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
-_DOT = (
-    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
-)
-
-
-def _cos_sql(a: str, b: str) -> str:
-    """Fold-left double cosine — used ONLY by the IVF oracle, whose
-    Spark twin still runs the sequential F.aggregate arithmetic."""
-    return (
-        f"{_DOT.format(a=a, b=b)} / "
-        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
-    )
-
-
 # Quantized-exact cosine (twin of similarity.quantized_cosine_udf):
 # components → floor(x·10⁶+0.5) int64, integer dot/norms (exact,
 # order-independent), float64 division + sqrts (IEEE-identical in
@@ -1775,7 +1762,7 @@ def _ivf_assign_cte(out: str, cent: str) -> str:
         f"{out} AS (SELECT vec_id, e, cell FROM (\n"
         f"  SELECT v.vec_id, v.e, s.cell,\n"
         f"         row_number() OVER (PARTITION BY v.vec_id\n"
-        f"           ORDER BY ROUND({_cos_sql('v.e', 's.e')}, 6) DESC, s.cell ASC) AS rn\n"
+        f"           ORDER BY {_round6_sql(_qcos_sql('v.e', 's.e'))} DESC, s.cell ASC) AS rn\n"
         f"  FROM v CROSS JOIN {cent} s) WHERE rn = 1)"
     )
 
@@ -1813,12 +1800,12 @@ pc AS (
   SELECT query_id, cell, qv FROM (
     SELECT q.vec_id AS query_id, q.e AS qv, s.cell,
            row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY ROUND({_cos_sql('q.e', 's.e')}, 6) DESC, s.cell ASC) AS rn
+             ORDER BY {_round6_sql(_qcos_sql('q.e', 's.e'))} DESC, s.cell ASC) AS rn
     FROM q CROSS JOIN c2 s) WHERE rn <= 2
 ),
 scored AS (
   SELECT pc.query_id, af.vec_id AS neighbor_id,
-         ROUND({_cos_sql('af.e', 'pc.qv')}, 6) AS cosine
+         {_round6_sql(_qcos_sql('af.e', 'pc.qv'))} AS cosine
   FROM af JOIN pc ON af.cell = pc.cell WHERE af.vec_id <> pc.query_id
 ),
 ranked AS (

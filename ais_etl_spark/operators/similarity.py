@@ -20,12 +20,11 @@ Scale story (100 TB / 10^10 vectors):
   md5-derived hyperplanes → bucket key; candidate = same bucket.
   Recall grows with band count like MinHash-LSH.
 
-Scoring arithmetic is quantized-exact (see the block comment at
+All scoring arithmetic is quantized-exact (see the block comment at
 ``QSCALE``): 6-dp int64 components, integer dot/norms, one IEEE
 division — order-independent, engine-identical, and Arrow-vectorized.
-IVF's training/assignment keeps the older fold-left ``F.aggregate``
-double arithmetic (sequential, deterministic), which its SQL oracle
-transliterates end to end.
+IVF's k-means training means additionally use exact DECIMAL sums, so
+the full train→assign→probe→rank chain transliterates to ANSI SQL.
 """
 
 from __future__ import annotations
@@ -66,9 +65,10 @@ def cosine_expr(a, b) -> "F.Column":
 # (IEEE-identical in numpy and DuckDB), and the same explicit 6-dp
 # floor-round before any ranking. 64-dim unit-scale vectors bound the
 # dot at ~64·(10⁶)² ≈ 2⁴⁶ ≪ 2⁶³ (no overflow) and ≪ 2⁵³ (the int→double
-# casts are exact). Used by cosine_topk / lsh_topk scoring and
-# dedup.embedding_cosine_pairs; IVF keeps the fold-left form (its
-# oracle transliterates that arithmetic end to end).
+# casts are exact). Used by every scoring path: cosine_topk, lsh_topk,
+# IVF assign/probe/rank, and dedup.embedding_cosine_pairs. The
+# fold-left exprs above remain for the LSH bucket projections (sign
+# bits, margins verified) and as the documented reference arithmetic.
 
 QSCALE = 1_000_000
 
@@ -215,7 +215,7 @@ def ivf_assign(
     )
     scored = corpus.withColumn("_v", F.col(vec_col).cast("array<double>")).join(
         F.broadcast(c)
-    ).withColumn("_sim", F.round(cosine_expr(F.col("_v"), F.col("centv")), 6))
+    ).withColumn("_sim", quantized_cosine_udf()(F.col("_v"), F.col("centv")))
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -342,7 +342,7 @@ def ivf_topk(
     scored = (
         assigned.join(qcells, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+        .withColumn("cosine", quantized_cosine_udf()(F.col("cv"), F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -365,7 +365,7 @@ def ivf_probe_cells(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     scored = q.join(F.broadcast(c)).withColumn(
-        "_sim", F.round(cosine_expr(F.col("qv"), F.col("centv")), 6)
+        "_sim", quantized_cosine_udf()(F.col("qv"), F.col("centv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
     return (
