@@ -106,3 +106,39 @@ def synth_wav_udf(rate: int = 8000, seconds: int = 1):
         return ids.map(one)
 
     return lambda col: fn(col)
+
+
+@register(
+    "audio_transcode",
+    doc="container transcode on real samples: flac->wav (stdlib FLAC "
+        "decoder); wav passes through; other formats need ffmpeg",
+)
+def t_audio_transcode(df, src: str = "payload", to: str = "wav", **_):
+    """The FFmpeg ext-rewrite leg (the reference's offline job runs
+    ``ext={"flac": "wav"}`` over LibriSpeech,
+    /root/reference/transformers/tests/test_ffmpeg.py:243-256), real
+    since round 4: FLAC payloads decode through the from-spec stdlib
+    codec (operators/flac.py — fixed/LPC subframes, Rice residuals,
+    stereo decorrelation) and re-encode as canonical PCM16 WAV.
+    Only ``to="wav"`` is expressible without ffmpeg."""
+    if to != "wav":
+        raise NotImplementedError("transcode target must be 'wav' without ffmpeg")
+    from ais_etl_spark.operators import flac
+
+    @pandas_udf(BinaryType())
+    def fn(data: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            if b[:4] == b"RIFF":
+                return b  # already wav
+            if b[:4] == flac.MAGIC:
+                return flac.flac_to_wav(b)
+            raise NotImplementedError(
+                "non-FLAC/WAV audio transcode requires ffmpeg (not installed)"
+            )
+
+        return data.map(one)
+
+    return df.withColumn(src, fn(F.col(src)))

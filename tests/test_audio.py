@@ -111,3 +111,26 @@ def test_audio_pipeline_spark(spark):
     for r in trimmed.collect():
         rate, ch, samples = wav.decode_wav(bytes(r["p"]))
         assert (rate, ch, len(samples)) == (8000, 1, 2000), r["doc_id"]
+
+
+def test_audio_transcode_flac_to_wav(spark):
+    """The FFmpeg ext-rewrite leg (flac->wav) through the registered
+    transform over a DataFrame: FLAC payloads decode via the stdlib
+    codec and re-encode as canonical PCM16 WAV, byte-deterministic;
+    WAV passes through untouched."""
+    import math
+
+    from ais_etl_spark.operators import flac, wav
+    from ais_etl_spark.transforms.registry import apply_transform
+
+    samples = [int(9000 * math.sin(i / 25)) for i in range(3000)]
+    flac_payload = flac.encode_flac(16000, 1, samples)
+    wav_payload = wav.encode_wav(16000, 1, samples)
+    df = spark.createDataFrame(
+        [(1, flac_payload), (2, wav_payload)], "id long, payload binary"
+    )
+    out = {r["id"]: bytes(r["payload"]) for r in
+           apply_transform(df, "audio_transcode", src="payload", to="wav").collect()}
+    assert out[1] == wav_payload      # transcode == direct wav encode
+    assert out[2] == wav_payload      # wav passthrough
+    assert wav.decode_wav(out[1]) == (16000, 1, samples)
