@@ -1919,6 +1919,85 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+@_q(
+    "tf_codec_transcode",
+    """SELECT doc_id,
+  16000 AS flac_rate,
+  256 AS flac_n,
+  CAST(list_sum(list_transform(generate_series(0, 255),
+      j -> ((doc_id * 7 + j * 13) % 2001) - 1000)) AS BIGINT) AS flac_sum,
+  CAST(list_sum(list_transform(generate_series(0, 255),
+      j -> abs(((doc_id * 7 + j * 13) % 2001) - 1000))) AS BIGINT) AS flac_abs_sum,
+  CAST(40 + doc_id % 180 AS INT) AS jpeg_tone_rt,
+  CAST(256 * (40 + doc_id % 180) AS BIGINT) AS jpeg_px_total
+FROM documents""",
+)
+def q_tf_codec_transcode(spark, sf_dir):
+    """Round-4 codec legs, driver-evidenced end to end with REAL
+    encode→transform→decode in Spark and a pure-formula oracle:
+
+    - FLAC: per doc, 256 formula samples s_j = ((doc_id·7 + j·13) mod
+      2001) − 1000 are FLAC-encoded (FIXED/Rice), run through the
+      ``audio_transcode`` flac→wav leg (the reference's
+      ``ext={'flac':'wav'}`` LibriSpeech job), WAV-decoded, and
+      reduced to rate / count / sum / abs-sum. FLAC is lossless, so
+      the oracle recomputes the sums analytically from the formula —
+      any bit error anywhere in the bitstream chain breaks the hash.
+    - JPEG: a flat-gray 16×16 image at tone 40 + doc_id mod 180 is
+      JPEG-encoded at quality 75 and decoded. At q75 the scaled DC
+      quantizer is exactly 8, so flat grays round-trip LOSSLESSLY
+      (round(8·(t−128)/8)·8/8 = t−128; verified for all 256 tones) —
+      the oracle is the identity on the tone and 256·tone for the
+      pixel total, while Spark runs the actual DCT/Huffman codec.
+
+    generate_series(0, 255) yields the values 0..255 in both the
+    lambda and the Python range — same j domain on both sides."""
+    import pandas as pd
+
+    from ais_etl_spark.operators import flac as _flac
+    from ais_etl_spark.operators import jpeg as _jpeg
+    from ais_etl_spark.operators import wav as _wav
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                samples = [((did * 7 + j * 13) % 2001) - 1000 for j in range(256)]
+                w = _flac.flac_to_wav(_flac.encode_flac(16000, 1, samples))
+                rate, _ch, dec = _wav.decode_wav(w)
+                tone = 40 + did % 180
+                img = [bytearray([tone] * 16) for _ in range(16)]
+                enc = _jpeg.encode_jpeg(16, 16, 1, img, quality=75)
+                _w2, _h2, _c2, out = _jpeg.decode_jpeg(enc)
+                rows.append(
+                    (
+                        did,
+                        rate,
+                        len(dec),
+                        sum(dec),
+                        sum(abs(s) for s in dec),
+                        out[0][0],
+                        sum(b for r in out for b in r),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "flac_rate", "flac_n", "flac_sum",
+                    "flac_abs_sum", "jpeg_tone_rt", "jpeg_px_total",
+                ],
+            )
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, flac_rate int, flac_n int, flac_sum bigint, "
+        "flac_abs_sum bigint, jpeg_tone_rt int, jpeg_px_total bigint",
+    )
+
+
 # ===========================================================================
 # Gate registration order
 # ===========================================================================
@@ -1934,6 +2013,8 @@ def q_mm_features(spark, sf_dir):
 # time-budgeted gate still covers the at-risk set.
 
 _GATE_ORDER = [
+    # new this round (real FLAC + JPEG codec legs):
+    "tf_codec_transcode",
     # never driver-checked in round 3 (gate truncated at 50):
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",

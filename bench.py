@@ -107,6 +107,7 @@ def run_ingest_bench(spark, n_events: int, n_buckets: int = 64) -> dict:
 
 
 QUERY_NAMES = [
+    "tf_codec_transcode",
     "cdc_lww_snapshot",
     "cdc_snapshot_by_lang",
     "cdc_engine_replay",
