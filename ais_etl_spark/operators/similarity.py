@@ -114,6 +114,7 @@ def cosine_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_collect_queries: int = 4096,
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query — the partial-top-k
     plan:
@@ -136,14 +137,18 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    q_rows = (
-        queries.select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        )
-        .orderBy("qid")
-        .collect()
+    q_sel = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
     )
+    q_rows = q_sel.orderBy("qid").limit(max_collect_queries + 1).collect()
+    if len(q_rows) > max_collect_queries:
+        # query set too large for the driver-collect closure — fall
+        # back to the join formulation (same quantized scoring, same
+        # output). Exact brute force at large q is inherently n×q
+        # work; above this size an index (ivf_topk / lsh_topk) is the
+        # right operator, and this path merely stays correct.
+        return _cosine_topk_join(corpus, queries, k, vec_col, id_col)
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     Q = _quantize(np.array([r["qv"] for r in q_rows], dtype=np.float64))
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
@@ -191,6 +196,41 @@ def cosine_topk(
     )
     return (
         local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _cosine_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Join-formulation twin of cosine_topk for query sets too large
+    to collect: corpus × queries scored with the same quantized-exact
+    Arrow cosine, ranked per query. Catalyst picks the join strategy
+    (broadcast while the query side fits, shuffle beyond)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    cos6 = quantized_cosine_udf()
+    scored = (
+        c.join(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cos6(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

@@ -103,3 +103,27 @@ def test_ivf_topk_trained_recall_not_worse(vecs):
                for r in S.ivf_topk(vecs, queries, k=5, n_cells=4, nprobe=2,
                                    train_iters=2, dim=4).collect()}
     assert len(trained & exact) >= len(seeded & exact)
+
+
+def test_cosine_topk_join_fallback_parity(spark):
+    """Query sets above max_collect_queries fall back to the join
+    formulation — identical output to the partial-top-k path (same
+    quantized-exact scoring on both)."""
+    from ais_etl_spark.operators.similarity import cosine_topk
+
+    vecs = _det_vecs(spark) if "_det_vecs" in globals() else None
+    if vecs is None:
+        import hashlib
+
+        rows = []
+        for i in range(20):
+            v = [((int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+                   / 0xFFFFFFFF) * 2 - 1) for d in range(8)]
+            rows.append((i, v))
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter("vec_id < 6")
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in cosine_topk(vecs, queries, k=5).collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in cosine_topk(vecs, queries, k=5, max_collect_queries=2).collect()}
+    assert a == b and len(a) == 30
