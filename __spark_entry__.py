@@ -12,7 +12,11 @@ hypothesis-property-tested bit-identical at seed 42. Every other
 query, including the formerly rows-only approximate-ANN pair, is
 value-hash-checked: sim_lsh_topk/sim_ivf_topk were made exactly
 reproducible (deterministic md5 hyperplanes; exact-decimal k-means
-training) so the oracle replays the same approximation.
+training) so the oracle replays the same approximation. Round 4:
+every cosine is quantized-exact (6-dp int64 components, integer
+dot/norms, explicit floor-rounds) — bit-identical across engines by
+construction, hypothesis-tested head-on in
+tests/test_properties.py::test_quantized_cosine_engine_bit_equality.
 """
 
 from __future__ import annotations

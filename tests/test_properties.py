@@ -471,3 +471,57 @@ def test_ingest_kill_resume_property(spark, seed, n_chunks, killpoint):
         feed.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=8, max_size=8,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_quantized_cosine_engine_bit_equality(vecs):
+    """The round-4 determinism contract, tested head-on: the
+    quantized-exact cosine (numpy path used by the Spark UDFs) is
+    BIT-identical to the DuckDB SQL transliteration for arbitrary
+    float32 vectors — no margin, no tolerance. Zero-quantized vectors
+    (norm 0 → NaN) are exercised too: both engines must agree the
+    result is NaN."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from ais_etl_spark.operators.similarity import _quantize, _round6_np
+
+    A = _quantize(np.array(vecs[:-1], dtype=np.float64))
+    b = _quantize(np.array(vecs[-1], dtype=np.float64))[None, :]
+    dots = np.einsum("ij,ij->i", A, np.repeat(b, len(A), axis=0)).astype(np.float64)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+    nb = np.sqrt(np.einsum("ij,ij->i", b, b).astype(np.float64))
+    got = _round6_np(dots / (na * nb[0]))
+
+    qdot = (
+        "list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> CAST(floor({a}[i] * 1000000 + 0.5) AS BIGINT)"
+        " * CAST(floor({b}[i] * 1000000 + 0.5) AS BIGINT)))"
+    )
+    expr = (
+        f"floor((CAST({qdot.format(a='a', b='b')} AS DOUBLE) / "
+        f"(sqrt(CAST({qdot.format(a='a', b='a')} AS DOUBLE))"
+        f" * sqrt(CAST({qdot.format(a='b', b='b')} AS DOUBLE))))"
+        f" * 1000000 + 0.5) / 1000000"
+    )
+    con = duckdb.connect()
+    for i, va in enumerate(vecs[:-1]):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ?::DOUBLE[] a, ?::DOUBLE[] b)",
+            [list(map(float, va)), list(map(float, vecs[-1]))],
+        ).fetchone()[0]
+        if want is None or (isinstance(want, float) and math.isnan(want)):
+            assert math.isnan(got[i])
+        else:
+            assert got[i] == want, (va, vecs[-1], got[i], want)
