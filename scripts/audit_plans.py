@@ -87,6 +87,12 @@ CHECKS = {
         ("bucket equi-join, no cartesian", "CartesianProduct", False),
         ("no nested-loop fallback", "BroadcastNestedLoopJoin", False),
     ],
+    "tf_codec_transcode": [
+        # both codec legs run in ONE iterator-mapInPandas pass over the
+        # doc ids — embarrassingly parallel, nothing to shuffle
+        ("single codec pass", "MapInPandas"),
+        ("no shuffle anywhere in the plan", "Exchange", False),
+    ],
 }
 
 
