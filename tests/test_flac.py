@@ -182,3 +182,29 @@ def test_flac_to_wav_rejects_non16bit():
 def test_not_flac_rejected():
     with pytest.raises(ValueError):
         flac.decode_flac(b"RIFFxxxxWAVE")
+
+
+def test_decoder_terminates_on_corrupt_input():
+    """Truncations and bit flips of a valid stream (and raw junk) must
+    raise or return — never hang — so a malformed media payload lands
+    in the merge-level quarantine instead of wedging an executor."""
+    import random
+
+    enc = flac.encode_flac(8000, 1, [i % 97 - 48 for i in range(1500)], block_size=256)
+    rng = random.Random(7)
+    for _ in range(40):
+        cut = rng.randint(4, len(enc) - 1)
+        t = bytearray(enc[:cut])
+        if t and rng.random() < 0.5:
+            i = rng.randint(4, len(t) - 1)
+            t[i] ^= 1 << rng.randint(0, 7)
+        try:
+            flac.decode_flac(bytes(t))
+        except Exception:
+            pass  # any exception is fine; hanging is not
+    for _ in range(40):
+        junk = flac.MAGIC + bytes(rng.randint(0, 255) for _ in range(rng.randint(4, 200)))
+        try:
+            flac.decode_flac(junk)
+        except Exception:
+            pass

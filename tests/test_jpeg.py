@@ -106,3 +106,29 @@ def test_roundtrip_property(w, h, ch, seed):
         _, dec = _rt(a, quality=90, subsampling=sub)
         err = np.abs(dec.astype(int) - a.astype(int))
         assert err.mean() < 8, (w, h, ch, sub, err.mean())
+
+
+def test_decoder_terminates_on_corrupt_input():
+    """Same contract as the FLAC twin: corrupt JPEG bytes raise or
+    return, never hang (MCU loop and Huffman walk are bounded)."""
+    import random
+
+    a = _img(24, 24, 1, lambda y, x, c: x * 7 + y * 3)
+    enc = jpeg.encode_jpeg(24, 24, 1, _rows(a), quality=85)
+    rng = random.Random(7)
+    for _ in range(40):
+        cut = rng.randint(4, len(enc) - 1)
+        t = bytearray(enc[:cut])
+        if t and rng.random() < 0.5:
+            i = rng.randint(4, len(t) - 1)
+            t[i] ^= 1 << rng.randint(0, 7)
+        try:
+            jpeg.decode_jpeg(bytes(t))
+        except Exception:
+            pass
+    for _ in range(40):
+        junk = b"\xff\xd8\xff" + bytes(rng.randint(0, 255) for _ in range(rng.randint(4, 200)))
+        try:
+            jpeg.decode_jpeg(junk)
+        except Exception:
+            pass
