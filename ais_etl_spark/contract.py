@@ -2003,7 +2003,7 @@ def q_tf_codec_transcode(spark, sf_dir):
 # ===========================================================================
 # The driver runs queries in registration order and (round-3 evidence)
 # observes at most the first ~50 entries, so (a) the total count is
-# kept ≤ 49 by folding trivial queries together (echo/hello/md5 → one;
+# kept ≤ 50 by folding trivial queries together (echo/hello/md5 → one;
 # the four per-doc text ops → txt_doc_profile; regex_route → the
 # batch_rename two-leg query; the LWW window twin → a parity union
 # inside cdc_lww_snapshot; the standalone simhash-signature entry →
