@@ -1961,28 +1961,35 @@ def q_tf_codec_transcode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
 
     def run(batches):
+        # the FLAC leg is a pure function of doc_id mod 2001 and the
+        # JPEG leg of the tone (180 classes) — memoize per class so a
+        # large sf runs each real codec chain once per class, not once
+        # per row (the chains themselves stay fully real)
+        flac_cache: dict[int, tuple] = {}
+        jpeg_cache: dict[int, tuple] = {}
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                samples = [((did * 7 + j * 13) % 2001) - 1000 for j in range(256)]
-                w = _flac.flac_to_wav(_flac.encode_flac(16000, 1, samples))
-                rate, _ch, dec = _wav.decode_wav(w)
-                tone = 40 + did % 180
-                img = [bytearray([tone] * 16) for _ in range(16)]
-                enc = _jpeg.encode_jpeg(16, 16, 1, img, quality=75)
-                _w2, _h2, _c2, out = _jpeg.decode_jpeg(enc)
-                rows.append(
-                    (
-                        did,
-                        rate,
-                        len(dec),
-                        sum(dec),
-                        sum(abs(s) for s in dec),
-                        out[0][0],
-                        sum(b for r in out for b in r),
+                fkey = did % 2001
+                f = flac_cache.get(fkey)
+                if f is None:
+                    samples = [((fkey * 7 + j * 13) % 2001) - 1000 for j in range(256)]
+                    w = _flac.flac_to_wav(_flac.encode_flac(16000, 1, samples))
+                    rate, _ch, dec = _wav.decode_wav(w)
+                    f = flac_cache[fkey] = (
+                        rate, len(dec), sum(dec), sum(abs(s) for s in dec)
                     )
-                )
+                tone = 40 + did % 180
+                jj = jpeg_cache.get(tone)
+                if jj is None:
+                    img = [bytearray([tone] * 16) for _ in range(16)]
+                    enc = _jpeg.encode_jpeg(16, 16, 1, img, quality=75)
+                    _w2, _h2, _c2, out = _jpeg.decode_jpeg(enc)
+                    jj = jpeg_cache[tone] = (
+                        out[0][0], sum(b for r in out for b in r)
+                    )
+                rows.append((did, *f, *jj))
             yield pd.DataFrame(
                 rows,
                 columns=[
