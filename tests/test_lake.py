@@ -447,3 +447,18 @@ def test_create_rejects_non_json_key_type(spark, tmp_path):
             [("k", "timestamp"), ("v", "string"), ("warc_ts", "timestamp")],
             key="k",
         )
+
+
+def test_commit_fence_rejects_racing_writer(spark, tmpdir_path):
+    """Single-writer protocol's last line of defense: publishing a
+    snapshot id that already exists must fail loudly (a second writer
+    racing the same parent), never silently overwrite."""
+    t = LakeTable.create(
+        spark, tmpdir_path + "/t",
+        [("url", "string"), ("warc_ts", "timestamp"), ("text", "string")],
+        key="url",
+    )
+    c = dict(t.commit())
+    c["snapshot_id"] = 0  # already committed by create()
+    with pytest.raises(RuntimeError, match="already committed"):
+        t._write_commit(c)
