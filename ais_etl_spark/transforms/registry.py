@@ -36,7 +36,27 @@ def register(name: str, doc: str = "", **default_params):
     return deco
 
 
+# built-in transform modules register on import; lazy-load them on a
+# lookup miss so a user (or a spec pipeline) can name any built-in
+# without having imported its module first — the bootstrap analog of
+# the reference pre-loading its transformer set
+_BUILTIN_MODULES = (
+    "ais_etl_spark.transforms.builtin",
+    "ais_etl_spark.transforms.audio",
+    "ais_etl_spark.transforms.raster",
+)
+
+
+def _load_builtin_modules() -> None:
+    import importlib
+
+    for m in _BUILTIN_MODULES:
+        importlib.import_module(m)
+
+
 def get_transform(name: str) -> Transform:
+    if name not in TRANSFORMS:
+        _load_builtin_modules()
     try:
         return TRANSFORMS[name]
     except KeyError:

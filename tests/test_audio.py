@@ -134,3 +134,35 @@ def test_audio_transcode_flac_to_wav(spark):
     assert out[1] == wav_payload      # transcode == direct wav encode
     assert out[2] == wav_payload      # wav passthrough
     assert wav.decode_wav(out[1]) == (16000, 1, samples)
+
+
+def test_spec_pipeline_flac_chain(spark):
+    """Spec-compiled pipeline chaining the round-4 transcode with the
+    existing audio ops — the tar2tf-style conversion list over FLAC
+    input: transcode(flac->wav) -> trim [0, 0.25)s -> window sums.
+    Expected values computed from the raw samples directly (both
+    codec hops are lossless/sample-accurate)."""
+    import math
+
+    from ais_etl_spark.operators import flac
+    from ais_etl_spark.transforms.spec import compile_pipeline
+
+    rate = 8000
+    samples = [int(6000 * math.sin(i / 30)) for i in range(rate)]  # 1 s mono
+    df = spark.createDataFrame(
+        [(1, flac.encode_flac(rate, 1, samples))], "id long, payload binary"
+    )
+    out = compile_pipeline(
+        df,
+        [
+            {"op": "audio_transcode", "src": "payload", "to": "wav"},
+            {"op": "audio_trim", "src": "payload", "from_s": 0.0, "to_s": 0.25},
+            {"op": "audio_window_sums", "src": "payload", "window": 500},
+        ],
+    ).collect()[0]
+    kept = samples[: rate // 4]
+    want = [
+        sum(abs(s) for s in kept[w : w + 500])
+        for w in range(0, len(kept), 500)
+    ]
+    assert list(out["window_sums"]) == want
