@@ -69,3 +69,17 @@ def test_explode_then_assemble_roundtrip(spark):
         group_col="group_id",
     ).collect()[0]
     assert bytes(rebuilt["tar"]) == original
+
+
+def test_untar_accepts_gzip_compressed_tar():
+    """tar2tf reads .tar.gz streams (reference tar2tf/src/transforms/
+    pipeline.go:22-29); tarfile's auto-detected mode gives us the same
+    transparently — pin it so a refactor to an explicit mode string
+    doesn't silently drop the compressed leg."""
+    import gzip
+
+    from ais_etl_spark.operators.archive import tar_bytes, untar_bytes
+
+    members = [("a.txt", b"hello"), ("b.bin", bytes(range(64)))]
+    plain = tar_bytes(members)
+    assert untar_bytes(gzip.compress(plain)) == members == untar_bytes(plain)
