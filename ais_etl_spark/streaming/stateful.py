@@ -39,11 +39,25 @@ LWW_OUT_SCHEMA = (
 
 
 def _lww_update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Per-key reducer: fold this batch's events into the stored
     winner; emit one row iff the winner changed. Ordering matches the
-    engine's LWW contract: (warc_ts, event_id) lexicographic."""
+    engine's LWW contract: (warc_ts, event_id) lexicographic.
+
+    TTL eviction (``stateful_lww_stream(ttl=...)``): a timed-out key
+    simply DROPS its state and emits nothing — the key's durable truth
+    lives in the lake table, this state is only the hot cache, so
+    eviction is always safe and state size tracks the ACTIVE key set,
+    not the 10^10-key cardinality. A re-appearing key re-seeds from
+    its next event; a stale re-seed surfaces as an extra changelog row
+    (at-least-once changelog, exact table — the documented trade)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         cur_us, cur_eid, cur_op = state.get
     else:
@@ -58,6 +72,9 @@ def _lww_update(
     changed = best[0] is not None and (best[0], best[1]) != (cur_us, cur_eid)
     if changed:
         state.update(best)
+    if ttl_ms is not None and (changed or state.exists):
+        state.setTimeoutDuration(ttl_ms)
+    if changed:
         yield pd.DataFrame(
             {
                 "url": [key[0]],
@@ -69,18 +86,43 @@ def _lww_update(
         )
 
 
-def stateful_lww_stream(events: DataFrame) -> DataFrame:
+def stateful_lww_stream(events: DataFrame, ttl: str | None = None) -> DataFrame:
     """Streaming changelog of per-url LWW winners. ``events`` must be
-    a streaming DataFrame with (url, warc_ts, event_id, op)."""
+    a streaming DataFrame with (url, warc_ts, event_id, op).
+
+    ``ttl`` (e.g. ``"30 minutes"``): processing-time state eviction for
+    idle keys — the bounded-state mode for unbounded key cardinality
+    (state tracks the ACTIVE set; the table holds the durable truth;
+    see _lww_update's docstring for the re-seed trade). Trigger
+    interaction: with a TTL the engine schedules empty micro-batches
+    to service future timeouts, so ``availableNow`` will NOT
+    self-terminate — run the TTL mode under a long-lived
+    ``processingTime`` trigger (its intended shape)."""
+    ttl_ms = None
+    if ttl is not None:
+        qty, unit = ttl.split()
+        ttl_ms = int(qty) * {
+            "ms": 1, "milliseconds": 1, "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000, "hour": 3_600_000,
+            "hours": 3_600_000,
+        }[unit]
+
+    def update(key, pdfs, state):
+        return _lww_update(key, pdfs, state, ttl_ms)
+
     return (
         events.select("url", "warc_ts", "event_id", "op")
         .groupBy("url")
         .applyInPandasWithState(
-            _lww_update,
+            update,
             outputStructType=LWW_OUT_SCHEMA,
             stateStructType=LWW_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

@@ -170,3 +170,116 @@ def test_windowed_event_counts_real_stream_with_health(spark, tmpdir_path):
             assert any('"num_input_rows": 4' in ln for ln in f)
     finally:
         spark.streams.removeListener(listener)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the reducer."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_lww_update_ttl_eviction_unit():
+    """TTL semantics of the reducer, deterministically: a timed-out
+    key drops state and emits nothing; a live update with ttl sets the
+    timeout; without ttl no timeout is registered."""
+    import pandas as pd
+
+    from ais_etl_spark.streaming.stateful import _lww_update
+
+    # timeout branch: state dropped, nothing emitted
+    st = _FakeState(value=(1000, 1, "U"), timed_out=True)
+    out = list(_lww_update(("u",), iter([]), st, ttl_ms=60000))
+    assert out == [] and st.removed and not st.exists
+
+    # live update with ttl: winner stored + timeout armed
+    batch = pd.DataFrame(
+        {
+            "warc_ts": [pd.Timestamp(5_000_000, unit="us")],
+            "event_id": [7],
+            "op": ["U"],
+        }
+    )
+    st = _FakeState()
+    out = list(_lww_update(("u",), iter([batch]), st, ttl_ms=60000))
+    assert len(out) == 1 and st.get == (5_000_000, 7, "U")
+    assert st.timeout_ms == 60000
+
+    # no ttl: no timeout registered
+    st = _FakeState()
+    list(_lww_update(("u",), iter([batch]), st, ttl_ms=None))
+    assert st.timeout_ms is None
+
+    # unchanged batch with existing state still refreshes the ttl
+    st = _FakeState(value=(5_000_000, 7, "U"))
+    out = list(_lww_update(("u",), iter([batch]), st, ttl_ms=1234))
+    assert out == [] and st.timeout_ms == 1234
+
+
+def test_stateful_lww_stream_with_ttl_runs(spark, tmpdir_path):
+    """End-to-end: the ProcessingTimeTimeout variant produces the same
+    first-batch changelog as NoTimeout. NOTE the trigger interaction
+    (documented on stateful_lww_stream): with a TTL the engine keeps
+    scheduling empty batches to service future timeouts, so
+    availableNow does NOT self-terminate — the test polls for the
+    output then stops the query, which is also the production shape
+    (a long-running processingTime trigger)."""
+    import os
+    import time
+
+    feed = [
+        (f"u{i % 3}", datetime(2026, 1, 1, 0, i), i, "U") for i in range(6)
+    ]
+    src = os.path.join(tmpdir_path, "src-ttl")
+    spark.createDataFrame(
+        feed, "url string, warc_ts timestamp, event_id long, op string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, event_id long, op string"
+    ).parquet(src)
+    out_dir = os.path.join(tmpdir_path, "out-ttl")
+    q = (
+        stateful_lww_stream(stream, ttl="5 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ck-ttl"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        rows = {}
+        for _ in range(60):
+            time.sleep(2)
+            try:
+                rows = {
+                    r.url: r.event_id
+                    for r in spark.read.parquet(out_dir).collect()
+                }
+            except Exception:
+                rows = {}
+            if len(rows) == 3:
+                break
+    finally:
+        q.stop()
+    assert rows == {"u0": 3, "u1": 4, "u2": 5}  # latest event per key
