@@ -117,14 +117,17 @@ FROM win WHERE rn = 1 AND op <> 'D'""",
 )
 def q_cdc_lww_snapshot(spark, sf_dir):
     """Batch LWW dedup + tombstone filter — the declarative spec of the
-    engine's merge semantics — WITH the agg/window parity check fused
-    in: the struct-max HASH-AGGREGATE formulation (flagship: map-side
-    combine absorbs hot-url skew) is unioned with the textbook
-    row_number()-over-sort twin and distinct'd. If the two
-    formulations ever diverge on any row, the union-distinct grows
-    past the oracle's row count and the gate fails — so one query
-    evidences both the semantics and the cross-formulation parity
-    (formerly the separate cdc_lww_agg_parity entry)."""
+    engine's merge semantics — WITH a SYMMETRIC agg/window parity check
+    fused in: the struct-max HASH-AGGREGATE formulation (flagship:
+    map-side combine absorbs hot-url skew) is unioned-distinct with the
+    textbook row_number()-over-sort twin, PLUS both directed
+    ``exceptAll`` differences. An extra/divergent row in either leg
+    inflates the union-distinct; a row DROPPED by either leg (the blind
+    spot ADVICE r4 flagged in the union-only form: e.g. agg wrongly
+    filtering a winner would leave union-distinct == win == oracle)
+    surfaces through the opposite exceptAll being non-empty — so any
+    asymmetry in any direction grows the result past the oracle's row
+    count and fails the hash."""
     from ais_etl_spark.operators.lww import lww_window
 
     agg = _lww_snapshot_df(spark, sf_dir)
@@ -140,7 +143,8 @@ def q_cdc_lww_snapshot(spark, sf_dir):
             "text",
         )
     )
-    return agg.unionByName(win).dropDuplicates()
+    both = agg.unionByName(win).dropDuplicates()
+    return both.unionByName(win.exceptAll(agg)).unionByName(agg.exceptAll(win))
 
 
 def _lww_snapshot_df(spark, sf_dir) -> DataFrame:
@@ -345,7 +349,19 @@ def q_cdc_quarantine(spark, sf_dir):
 
 
 _LOOKUP_URLS = [f"https://site-{i}.example.com/page/{i}" for i in (0, 1, 2)]
-_LOOKUP_TABLE_CACHE: dict[tuple[int, str], "LakeTable"] = {}
+# keyed by applicationId, not id(spark): CPython reuses id() after GC,
+# so a stopped session followed by a new one at the same address would
+# otherwise hit a cached LakeTable bound to the dead session (ADVICE
+# r4). applicationId is unique per SparkContext; tmp dirs are
+# registered for interpreter-exit cleanup.
+_LOOKUP_TABLE_CACHE: dict[tuple[str, str], "LakeTable"] = {}
+
+
+def _register_tmpdir_cleanup(path: str) -> None:
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, True)
 
 _POINT_LOOKUP_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
 SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, text, lang
@@ -368,11 +384,12 @@ def q_cdc_point_lookup(spark, sf_dir):
     e.g. the bench's warm run — times the lookups themselves, which is
     the latency this query exists to measure. The result is identical
     either way (deterministic merge of the same feed)."""
-    ck = (id(spark), sf_dir)
+    ck = (spark.sparkContext.applicationId, sf_dir)
     table = _LOOKUP_TABLE_CACHE.get(ck)
     if table is None:
         feed = _feed_with_html(spark, sf_dir)
         tmp = tempfile.mkdtemp(prefix="ais-etl-lookup-contract-")
+        _register_tmpdir_cleanup(tmp)
         table = LakeTable.create(
             spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
             order_col="warc_ts", n_buckets=16,
@@ -2099,3 +2116,45 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ===========================================================================
+# Diagnostic (non-gate) queries
+# ===========================================================================
+# txt_doc_profile fuses four operators into one hash; when the fused
+# gate fails, these per-operator twins localize WHICH block diverged
+# without the driver (ADVICE r4). They share the exact column builders
+# and SQL fragments the fused query uses, are exercised by
+# tests/test_textstats.py, and run locally via
+# ``python scripts/check_contract.py --diag [sf_dir]``.
+
+
+def _diag_txt_lang_id(spark, sf_dir):
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _diag_txt_quality(spark, sf_dir):
+    return T.quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def _diag_txt_tokens(spark, sf_dir):
+    return T.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _diag_txt_fingerprint(spark, sf_dir):
+    return T.fingerprint_md5(_t(spark, sf_dir, "documents"))
+
+
+DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "diag_txt_lang_id": _diag_txt_lang_id,
+    "diag_txt_quality": _diag_txt_quality,
+    "diag_txt_tokens": _diag_txt_tokens,
+    "diag_txt_fingerprint": _diag_txt_fingerprint,
+}
+
+DIAGNOSTIC_ORACLES: dict[str, str] = {
+    "diag_txt_lang_id": f"SELECT doc_id, {_LANG_COLS_SQL} FROM documents",
+    "diag_txt_quality": f"SELECT doc_id, {_QUALITY_COLS_SQL} FROM documents",
+    "diag_txt_tokens": f"SELECT doc_id, {_TOKEN_COLS_SQL} FROM documents",
+    "diag_txt_fingerprint": f"SELECT doc_id, {_FINGERPRINT_COL_SQL} FROM documents",
+}

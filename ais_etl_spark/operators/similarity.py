@@ -75,10 +75,27 @@ QSCALE = 1_000_000
 
 def _quantize(mat):
     """float64 ndarray → 6-dp int64: floor(x·1e6 + 0.5), elementwise —
-    the exact formula the SQL oracle applies."""
+    the exact formula the SQL oracle applies.
+
+    Exactness guard (ADVICE r4): the integer dot/norm arithmetic is
+    only exact while every accumulated sum stays ≤ 2^53 (so the final
+    int64→float64 cast is lossless) — i.e. dim · maxq² < 2^53 where
+    maxq is the largest quantized component. Outside that envelope the
+    int64 products can wrap silently, so we raise instead of returning
+    a wrong-but-plausible score."""
     import numpy as np
 
-    return np.floor(mat * float(QSCALE) + 0.5).astype(np.int64)
+    q = np.floor(mat * float(QSCALE) + 0.5).astype(np.int64)
+    if q.size:
+        maxq = int(np.abs(q).max())
+        dim = q.shape[-1]
+        if maxq and dim * maxq * maxq >= (1 << 53):
+            raise ValueError(
+                f"quantized cosine out of exact range: dim={dim}, "
+                f"max|component|={maxq / QSCALE:g} — dim·(1e6·max)² must "
+                f"stay < 2^53; normalize the vectors or reduce QSCALE"
+            )
+    return q
 
 
 def _round6_np(arr):
@@ -108,61 +125,45 @@ def quantized_cosine_udf():
     return cos6
 
 
-def cosine_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    max_collect_queries: int = 4096,
-) -> DataFrame:
-    """Exact brute-force cosine top-k per query — the partial-top-k
-    plan:
+def _score_chunk_local_topk(
+    corpus_sel: DataFrame,
+    q_rows: list,
+    k: int,
+    id_sql_type: str,
+    id_is_numeric: bool,
+):
+    """One partial-top-k pass of the collected query chunk over the
+    corpus: per Arrow batch an exact int64 matmul scores
+    batch × queries and only each query's LOCAL top-k survives — ≤ q·k
+    rows leave each batch, never the scored stream. Returns the
+    un-ranked local-top-k DataFrame (query_id, neighbor_id, cosine);
+    the caller applies the global rank window over n_batches·q·k tiny
+    rows.
 
-    1. collect the query set driver-side (bounded: queries are the
-       small side by definition — the same assumption the former
-       broadcast-join shape made) and ship it in the UDF closure;
-    2. ONE pass over the corpus (mapInPandas, no join, no shuffle of
-       the big side): per Arrow batch, an exact int64 matmul scores
-       batch × queries, and only each query's LOCAL top-k survives —
-       ≤ q·k rows leave each batch, never the scored stream;
-    3. global top-k merges n_batches·q·k tiny rows under one window —
-       correct because any global top-k row is necessarily in its
-       batch's top-k under the same total order (cosine desc,
-       neighbor_id asc).
-
-    Numeric ids assumed (the gate's vec_id is BIGINT). Returns
-    (query_id, neighbor_id, rank, cosine) — self-matches excluded.
-    """
+    Ids are carried in their NATIVE type (ADVICE r4: the previous
+    int64-only closure crashed on string vec_ids): numeric ids ride an
+    int64 fast path; any other type goes through object arrays with
+    numpy '<U' tie-break sorting (code-point order — matches Spark's
+    UTF-16 comparison for all non-supplementary text, and ties only
+    matter between exactly-equal 6-dp cosines anyway)."""
     import numpy as np
     import pandas as pd
 
-    q_sel = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    q_rows = q_sel.orderBy("qid").limit(max_collect_queries + 1).collect()
-    if len(q_rows) > max_collect_queries:
-        # query set too large for the driver-collect closure — fall
-        # back to the join formulation (same quantized scoring, same
-        # output). Exact brute force at large q is inherently n×q
-        # work; above this size an index (ivf_topk / lsh_topk) is the
-        # right operator, and this path merely stays correct.
-        return _cosine_topk_join(corpus, queries, k, vec_col, id_col)
-    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    if id_is_numeric:
+        qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    else:
+        qids = np.array([r["qid"] for r in q_rows], dtype=object)
     Q = _quantize(np.array([r["qv"] for r in q_rows], dtype=np.float64))
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
 
     def score_batches(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            if id_is_numeric:
+                ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            else:
+                ids = pdf["neighbor_id"].to_numpy()
             C = _quantize(np.stack(pdf["cv"].to_numpy()).astype(np.float64))
             dots = (C @ Q.T).astype(np.float64)  # exact int64 matmul
             cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
@@ -175,8 +176,9 @@ def cosine_topk(
                     continue
                 kk = min(k, nj.size)
                 # exact local top-k under (cosine desc, neighbor asc)
-                order = np.lexsort((nj, -cj))[:kk]
-                out_q.append(np.full(kk, qids[j], dtype=np.int64))
+                sort_ids = nj if id_is_numeric else nj.astype("U")
+                order = np.lexsort((sort_ids, -cj))[:kk]
+                out_q.append(np.full(kk, qids[j], dtype=qids.dtype))
                 out_n.append(nj[order])
                 out_c.append(cj[order])
             if out_q:
@@ -188,9 +190,72 @@ def cosine_topk(
                     }
                 )
 
-    local = c.mapInPandas(
-        score_batches, "query_id long, neighbor_id long, cosine double"
+    return corpus_sel.mapInPandas(
+        score_batches,
+        f"query_id {id_sql_type}, neighbor_id {id_sql_type}, cosine double",
     )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_collect_queries: int = 4096,
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query — the partial-top-k
+    plan:
+
+    1. collect the query set driver-side (bounded by
+       ``max_collect_queries`` per chunk) and ship it in the UDF
+       closure;
+    2. ONE pass over the corpus (mapInPandas, no join, no shuffle of
+       the big side) keeping only each query's LOCAL top-k per batch;
+    3. global top-k merges n_batches·q·k tiny rows under one window —
+       correct because any global top-k row is necessarily in its
+       batch's top-k under the same total order (cosine desc,
+       neighbor_id asc).
+
+    Query sets larger than ``max_collect_queries`` are processed in
+    id-ordered CHUNKS of that size (keyset pagination on qid) and the
+    per-chunk results unioned — the corpus is re-scanned once per
+    chunk, but no plan ever materializes or windows the full n×q
+    scored stream (the former join fallback did; VERDICT r4 #6).
+    Exact brute force at large q is inherently n×q work — above a few
+    chunks an index (ivf_topk / lsh_topk) is the right operator.
+
+    Ids keep their native type (int/string both supported). Returns
+    (query_id, neighbor_id, rank, cosine) — self-matches excluded.
+    """
+    id_sql_type = dict(corpus.dtypes)[id_col]
+    id_is_numeric = id_sql_type in ("tinyint", "smallint", "int", "bigint")
+
+    q_sel = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+
+    local = None
+    last_qid = None
+    while True:
+        page = q_sel if last_qid is None else q_sel.filter(F.col("qid") > last_qid)
+        q_rows = page.orderBy("qid").limit(max_collect_queries).collect()
+        if not q_rows:
+            break
+        chunk = _score_chunk_local_topk(c, q_rows, k, id_sql_type, id_is_numeric)
+        local = chunk if local is None else local.unionByName(chunk)
+        if len(q_rows) < max_collect_queries:
+            break
+        last_qid = q_rows[-1]["qid"]
+    if local is None:
+        schema = f"query_id {id_sql_type}, neighbor_id {id_sql_type}, cosine double"
+        local = corpus.sparkSession.createDataFrame([], schema)
+
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -201,44 +266,28 @@ def cosine_topk(
     )
 
 
-def _cosine_topk_join(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int,
-    vec_col: str,
-    id_col: str,
-) -> DataFrame:
-    """Join-formulation twin of cosine_topk for query sets too large
-    to collect: corpus × queries scored with the same quantized-exact
-    Arrow cosine, ranked per query. Catalyst picks the join strategy
-    (broadcast while the query side fits, shuffle beyond)."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    cos6 = quantized_cosine_udf()
-    scored = (
-        c.join(q)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cos6(F.col("cv"), F.col("qv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
-
-
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) cells
 # ---------------------------------------------------------------------------
+
+
+def _collect_centroid_matrix(centroids: DataFrame, vec_col: str):
+    """Collect the (tiny: n_cells × dim) centroid table into numpy,
+    sorted by cell asc — the closure every assignment/probe pass
+    ships. Bounded by n_cells, never the corpus."""
+    import numpy as np
+
+    rows = (
+        centroids.select(
+            "cell", F.col(vec_col).cast("array<double>").alias("_cv")
+        )
+        .orderBy("cell")
+        .collect()
+    )
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    Cq = _quantize(np.array([r["_cv"] for r in rows], dtype=np.float64))
+    cn = np.sqrt(np.einsum("ij,ij->i", Cq, Cq).astype(np.float64))
+    return cells, Cq, cn
 
 
 def ivf_assign(
@@ -247,21 +296,43 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (cell). Centroids
-    broadcast; one pass, no shuffle of the corpus. Output adds
-    ``cell`` — use it as the lake-table partition column at rest."""
-    c = centroids.select(
-        F.col("cell"), F.col(vec_col).cast("array<double>").alias("centv")
+    """Assign each vector to its max-cosine centroid (cell) in ONE
+    Arrow pass: the centroid matrix (n_cells × dim — tiny by
+    construction) rides the mapInPandas closure, each batch scores
+    batch × n_cells with an exact int64 matmul and takes a row-wise
+    argmax. No join, no window, no shuffle — the round-4 verdict's #1
+    scale-killer (broadcast-expand to n × n_cells rows, then a full
+    shuffle+sort under Window.partitionBy(id) to pick row 1) is gone;
+    cost is now exactly one corpus scan regardless of n_cells.
+
+    Tie rule matches the SQL oracle: cosine rounded to 6 dp, ties to
+    the lowest cell (argmax returns the first maximum and centroid
+    columns are cell-ascending). All corpus columns pass through;
+    output adds ``cell`` — use it as the lake-table partition column
+    at rest."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cells, Cq, cn = _collect_centroid_matrix(centroids, vec_col)
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("cell", IntegerType())]
     )
-    scored = corpus.withColumn("_v", F.col(vec_col).cast("array<double>")).join(
-        F.broadcast(c)
-    ).withColumn("_sim", quantized_cosine_udf()(F.col("_v"), F.col("centv")))
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_sim", "_v", "centv")
-    )
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _quantize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            dots = (V @ Cq.T).astype(np.float64)  # exact int64 matmul
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V).astype(np.float64))
+            cos = _round6_np(dots / (vn[:, None] * cn[None, :]))
+            best = np.argmax(cos, axis=1)  # first max ⇒ lowest cell
+            out = pdf.copy()
+            out["cell"] = cells[best].astype(np.int32)
+            yield out
+
+    return corpus.mapInPandas(assign_batches, out_schema)
 
 
 def seed_centroids(
@@ -288,6 +359,33 @@ def seed_centroids(
     )
 
 
+def _decimal10_scaled(M):
+    """Elementwise int64 of ``cast(x AS DECIMAL(*,10))·10¹⁰`` — the
+    EXACT value Spark's double→decimal cast produces (shortest-repr
+    string, then HALF_UP at 10 dp; verified equal to
+    ``Decimal(str(x)).quantize(1e-10, HALF_UP)`` over 20k random +
+    boundary doubles). Vectorized fast path: where x·1e10 lands ≥1e-3
+    away from a .5 boundary (and |x| ≤ 100 so the float scaling error
+    ≪ that margin), plain round-to-nearest is unambiguous and equals
+    the decimal rule; the rare boundary elements take the per-element
+    Decimal path."""
+    import numpy as np
+
+    s = M * 1e10
+    frac = s - np.floor(s)
+    safe = (np.abs(frac - 0.5) > 1e-3) & (np.abs(M) <= 100.0)
+    out = np.where(safe, np.floor(s + 0.5), 0.0).astype(np.int64)
+    if not bool(safe.all()):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("1e-10")
+        for i, j in np.argwhere(~safe):
+            out[i, j] = int(
+                Decimal(str(M[i, j])).quantize(q, rounding=ROUND_HALF_UP).scaleb(10)
+            )
+    return out
+
+
 def kmeans_refine(
     corpus: DataFrame,
     n_cells: int,
@@ -300,54 +398,157 @@ def kmeans_refine(
     turns the deterministic seeds into real centroids (better cell
     balance ⇒ better recall at the same nprobe).
 
-    Each iteration = one broadcast assign (no corpus shuffle) + one
-    grouped mean as ``dim`` per-dimension sums in a single hash
-    aggregate — map-side combine reduces every task to one partial row
-    per cell, so the shuffle carries n_cells × dim doubles, never the
-    vectors. Deterministic seed from :func:`seed_centroids`; empty
-    cells keep their previous centroid. Returns (cell, vec_col)."""
-    cents = seed_centroids(corpus, n_cells, vec_col, id_col).select(
-        "cell", F.col(vec_col).cast("array<double>").alias("_e")
-    )
-    v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e"))
+    Each iteration is ONE job: a single Arrow pass fuses the cell
+    assignment (int64 matmul argmax against the closure's centroid
+    matrix — no join, no window) with the per-cell partial sums, so
+    each batch emits ≤ n_cells partial rows and the shuffle carries
+    n_batches × n_cells rows, never the vectors. The sums are EXACT:
+    components are scaled to the integer value of Spark's
+    ``DECIMAL(·,10)`` cast (:func:`_decimal10_scaled`), summed in
+    int64, and emitted as DECIMAL(38,10) partials — associative, so
+    the trained centroids are a pure function of the corpus,
+    independent of batch/partition boundaries, and the whole chain
+    stays reproducible by an ANSI-SQL oracle. One deterministic
+    rounding at the end: exact decimal → double, then double / count.
+
+    Deterministic seed from :func:`seed_centroids`; empty cells keep
+    their previous centroid. Returns (cell, vec_col)."""
+    import numpy as np
+    import pandas as pd
+
+    seed_rows = seed_centroids(corpus, n_cells, vec_col, id_col).collect()
+    cur: dict[int, list[float]] = {
+        int(r["cell"]): [float(x) for x in r[vec_col]] for r in seed_rows
+    }
+    v = corpus.select(F.col(vec_col).cast("array<double>").alias("_e"))
+
+    def _lit_cents(spark):
+        return spark.createDataFrame(
+            sorted(cur.items()), "cell int, _e array<double>"
+        )
+
     for _ in range(iters):
-        assigned = ivf_assign(v, cents, vec_col="_e", id_col=id_col)
-        # EXACT per-dim sums (decimal) so the trained centroids are a
-        # pure function of the corpus, independent of partial-agg
-        # order — what makes the whole IVF query reproducible by an
-        # ANSI-SQL oracle. One deterministic rounding at the end:
-        # exact decimal → double, then double / count.
-        summed = assigned.groupBy("cell").agg(
-            F.count("*").alias("_n"),
-            *[
-                F.sum(F.element_at("_e", d + 1).cast("decimal(27,10)")).alias(f"_s{d}")
+        cells = np.array(sorted(cur), dtype=np.int64)
+        Cq = _quantize(np.array([cur[c] for c in sorted(cur)], dtype=np.float64))
+        cn = np.sqrt(np.einsum("ij,ij->i", Cq, Cq).astype(np.float64))
+
+        def assign_and_sum(batches, _cells=cells, _Cq=Cq, _cn=cn):
+            # iterator-mode accumulation: ONE partial row per cell per
+            # PARTITION (not per Arrow batch), so the shuffle carries
+            # n_partitions × n_cells rows however big the corpus is.
+            # Sums are Python ints (arbitrary precision) of the exact
+            # decimal-scaled components, emitted as DECIMAL(38,0).
+            from decimal import Decimal
+
+            counts: dict[int, int] = {}
+            sums: dict[int, list[int]] = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.stack(pdf["_e"].to_numpy()).astype(np.float64)
+                Vq = _quantize(V)
+                dots = (Vq @ _Cq.T).astype(np.float64)
+                vn = np.sqrt(np.einsum("ij,ij->i", Vq, Vq).astype(np.float64))
+                cos = _round6_np(dots / (vn[:, None] * _cn[None, :]))
+                best = np.argmax(cos, axis=1)  # first max ⇒ lowest cell
+                scaled = _decimal10_scaled(V)
+                for ci in np.unique(best):
+                    mask = best == ci
+                    cell = int(_cells[ci])
+                    part = scaled[mask].sum(axis=0, dtype=np.int64)
+                    counts[cell] = counts.get(cell, 0) + int(mask.sum())
+                    if cell in sums:
+                        old = sums[cell]
+                        sums[cell] = [a + int(b) for a, b in zip(old, part)]
+                    else:
+                        sums[cell] = [int(b) for b in part]
+            if counts:
+                yield pd.DataFrame(
+                    {
+                        "cell": list(counts),
+                        "_n": [counts[c] for c in counts],
+                        "_s": [
+                            [Decimal(x) for x in sums[c]] for c in counts
+                        ],
+                    }
+                )
+
+        def merge_cell(key, pdf):
+            # exact merge of the per-partition partials, then the ONE
+            # deterministic rounding: exact decimal sum → double → /n
+            # (identical to CAST(sum AS DOUBLE)/count in the oracle)
+            from decimal import Decimal
+
+            n = int(pdf["_n"].sum())
+            mean = [
+                float(Decimal(sum(int(x[d]) for x in pdf["_s"])).scaleb(-10)) / n
                 for d in range(dim)
-            ],
+            ]
+            return pd.DataFrame({"cell": [key[0]], "_e": [mean]})
+
+        partials = v.mapInPandas(
+            assign_and_sum, "cell int, _n long, _s array<decimal(38,0)>"
         )
-        new_cents = summed.select(
-            "cell",
-            F.array(
-                *[
-                    F.col(f"_s{d}").cast("double") / F.col("_n")
-                    for d in range(dim)
-                ]
-            ).alias("_nv"),
+        merged = partials.groupBy("cell").applyInPandas(
+            merge_cell, "cell int, _e array<double>"
         )
-        prev = cents.select("cell", F.col("_e").alias("_pv"))
-        cents = prev.join(new_cents, "cell", "left").select(
-            "cell",
-            F.coalesce(F.col("_nv"), F.col("_pv")).alias("_e"),
+        # collect the (tiny: n_cells × dim doubles) centroids each
+        # iteration — the lineage cut every iterative algorithm needs,
+        # and it lets empty cells keep their previous centroid with
+        # plain dict code instead of a join+coalesce in the plan.
+        for r in merged.collect():
+            cur[int(r["cell"])] = [float(x) for x in r["_e"]]
+    return _lit_cents(corpus.sparkSession).select(
+        "cell", F.col("_e").alias(vec_col)
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    dim: int | None = None,
+    train_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index ONCE: train centroids (k-means when
+    ``train_iters > 0``, else deterministic seeds) and assign every
+    corpus vector to its cell. Returns ``(centroids, assigned)`` where
+    ``assigned`` = corpus columns + ``cell``.
+
+    ``path`` persists both legs as parquet — ``assigned`` partitioned
+    by ``cell`` so a probe prunes to nprobe/n_cells of the files at
+    rest — and :func:`ivf_load` reads them back. This is the
+    amortization the reference gets from its build-once versioned
+    cache (/root/reference/transformers/tar2tf/src/cached.go:50-78):
+    training runs per index BUILD, while :func:`ivf_topk` consumers
+    pay only the probe join (VERDICT r4 #1)."""
+    if train_iters > 0:
+        if dim is None:
+            raise ValueError("train_iters > 0 requires dim")
+        cents = kmeans_refine(corpus, n_cells, dim, train_iters, vec_col, id_col)
+    else:
+        cents = seed_centroids(corpus, n_cells, vec_col, id_col)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    if path is not None:
+        import os
+
+        cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "assigned")
         )
-        # materialize the (tiny: n_cells × dim doubles) centroids each
-        # iteration — otherwise every later iteration's lazy plan
-        # re-embeds and RECOMPUTES all earlier ones, and the consumer
-        # (ivf_topk) multiplies that again per reference. This is the
-        # standard lineage cut for iterative algorithms.
-        rows = [(r["cell"], [float(x) for x in r["_e"]]) for r in cents.collect()]
-        cents = corpus.sparkSession.createDataFrame(
-            rows, "cell int, _e array<double>"
-        )
-    return cents.select("cell", F.col("_e").alias(vec_col))
+        return ivf_load(corpus.sparkSession, path)
+    return cents, assigned
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read back a persisted IVF index: (centroids, assigned)."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    return cents, assigned
 
 
 def ivf_topk(
@@ -360,24 +561,29 @@ def ivf_topk(
     id_col: str = "vec_id",
     train_iters: int = 0,
     dim: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ANN top-k probing ``nprobe`` cells per query: search cost ≈
     nprobe/n_cells of brute force. Join key is ``cell`` — an equi-join
     the planner co-partitions; a hot cell is AQE-splittable.
-    ``train_iters > 0`` refines the seed centroids with k-means
-    (requires ``dim``) for better cell balance/recall."""
-    if train_iters > 0:
-        if dim is None:
-            raise ValueError("train_iters > 0 requires dim")
-        cents = kmeans_refine(corpus, n_cells, dim, train_iters, vec_col, id_col)
+
+    ``index``: a prebuilt ``(centroids, assigned)`` pair from
+    :func:`ivf_build` / :func:`ivf_load` — the 100 TB shape (train
+    once, probe many). Without it the index is built inline
+    (``train_iters > 0`` refines the seeds with k-means; requires
+    ``dim``)."""
+    if index is not None:
+        cents, assigned_full = index
     else:
-        cents = seed_centroids(corpus, n_cells, vec_col, id_col)
-    assigned = ivf_assign(corpus, cents, vec_col, id_col).select(
+        cents, assigned_full = ivf_build(
+            corpus, n_cells, dim, train_iters, vec_col, id_col
+        )
+    assigned = assigned_full.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("cell"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    # nprobe nearest cells per query (centroids tiny → broadcast)
+    # nprobe nearest cells per query (one Arrow pass over the queries)
     qcells = ivf_probe_cells(queries, cents, nprobe, vec_col, id_col)
     scored = (
         assigned.join(qcells, "cell")
@@ -399,20 +605,56 @@ def ivf_probe_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    c = centroids.select("cell", F.col(vec_col).cast("array<double>").alias("centv"))
+    """nprobe nearest cells per query — same single-Arrow-pass shape
+    as :func:`ivf_assign` (centroid matrix in the closure, per-batch
+    argsort, emit nprobe rows per query): no broadcast-expand, no
+    window. Output: (query_id, cell, qv)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cells, Cq, cn = _collect_centroid_matrix(centroids, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    scored = q.join(F.broadcast(c)).withColumn(
-        "_sim", quantized_cosine_udf()(F.col("qv"), F.col("centv"))
+    id_field = q.schema["query_id"]
+    out_schema = StructType(
+        [
+            StructField("query_id", id_field.dataType),
+            StructField("cell", IntegerType()),
+            StructField("qv", ArrayType(DoubleType())),
+        ]
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "cell", "qv")
-    )
+    np_take = min(nprobe, len(cells))
+
+    def probe_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _quantize(np.stack(pdf["qv"].to_numpy()).astype(np.float64))
+            dots = (V @ Cq.T).astype(np.float64)
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V).astype(np.float64))
+            cos = _round6_np(dots / (vn[:, None] * cn[None, :]))
+            # stable argsort on -cos ⇒ cosine desc, ties to lowest cell
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :np_take]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy().repeat(np_take),
+                    "cell": cells[order].reshape(n * np_take).astype(np.int32),
+                    "qv": pdf["qv"].to_numpy().repeat(np_take),
+                }
+            )
+
+    return q.mapInPandas(probe_batches, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -58,17 +58,27 @@ def _lww_update(
     if state.hasTimedOut:
         state.remove()
         return
+    import numpy as np
+
     if state.exists:
         cur_us, cur_eid, cur_op = state.get
     else:
         cur_us, cur_eid, cur_op = None, None, None
     best = (cur_us, cur_eid, cur_op)
     for pdf in pdfs:
-        for ts, eid, op in zip(pdf["warc_ts"], pdf["event_id"], pdf["op"]):
-            us = int(ts.value // 1000)  # pandas ns → µs
-            cand = (us, int(eid), op)
-            if best[0] is None or (cand[0], cand[1]) > (best[0], best[1]):
-                best = cand
+        if pdf.empty:
+            continue
+        # vectorized lexicographic max over (warc_ts, event_id): a hot
+        # key receiving 10^5 events in one micro-batch reduces in two
+        # numpy passes, not an interpreted per-row fold (VERDICT r4 #2;
+        # parity + hot-key timing case in tests/test_stateful.py)
+        us = (pdf["warc_ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+              // 1000)
+        eid = pdf["event_id"].to_numpy(dtype=np.int64)
+        top = np.lexsort((eid, us))[-1]
+        cand = (int(us[top]), int(eid[top]), pdf["op"].iloc[top])
+        if best[0] is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
     changed = best[0] is not None and (best[0], best[1]) != (cur_us, cur_eid)
     if changed:
         state.update(best)

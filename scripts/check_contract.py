@@ -56,8 +56,10 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--diag"]
+    diag = "--diag" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from ais_etl_spark import get_spark
@@ -69,7 +71,16 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs, osql = e.queries(), e.oracle_sql()
+    if diag:
+        # per-operator twins of the fused gate queries (localize a
+        # txt_doc_profile hash mismatch without the driver)
+        from ais_etl_spark import contract
+
+        qs, osql = dict(contract.DIAGNOSTIC_QUERIES), dict(
+            contract.DIAGNOSTIC_ORACLES
+        )
+    else:
+        qs, osql = e.queries(), e.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

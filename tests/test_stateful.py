@@ -237,6 +237,48 @@ def test_lww_update_ttl_eviction_unit():
     assert out == [] and st.timeout_ms == 1234
 
 
+def test_lww_update_hot_key_vectorized_parity():
+    """Hot-key batch (10^4 events, one url): the vectorized numpy
+    lexicographic max must pick the same winner as a per-row Python
+    fold (the pre-r5 implementation), including warc_ts ties broken by
+    event_id, and stay fast (no interpreted per-row loop)."""
+    import random
+    import time
+
+    import pandas as pd
+
+    from ais_etl_spark.streaming.stateful import _lww_update
+
+    rng = random.Random(1234)
+    n = 10_000
+    # many duplicate timestamps → event_id tie-breaks matter
+    ts_us = [rng.randrange(0, 500) * 1_000_000 for _ in range(n)]
+    eids = list(range(n))
+    rng.shuffle(eids)
+    ops = [rng.choice(["I", "U", "D"]) for _ in range(n)]
+    batch = pd.DataFrame(
+        {
+            "warc_ts": pd.to_datetime(pd.Series(ts_us), unit="us"),
+            "event_id": eids,
+            "op": ops,
+        }
+    )
+    expect = max(zip(ts_us, eids, ops), key=lambda t: (t[0], t[1]))
+
+    st = _FakeState()
+    t0 = time.time()
+    out = list(_lww_update(("hot",), iter([batch]), st))
+    elapsed = time.time() - t0
+    assert st.get == expect
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (int(row["warc_ts"].value // 1000), int(row["event_id"]), row["op"]) == expect
+    # vectorized: two numpy passes over 10^4 rows — generous bound that
+    # an interpreted per-row fold would still pass only marginally, but
+    # guards against accidental quadratic regressions
+    assert elapsed < 1.0, f"hot-key reduce took {elapsed:.2f}s"
+
+
 def test_stateful_lww_stream_with_ttl_runs(spark, tmpdir_path):
     """End-to-end: the ProcessingTimeTimeout variant produces the same
     first-batch changelog as NoTimeout. NOTE the trigger interaction
