@@ -507,37 +507,61 @@ def q_cdc_curated_replay(spark, sf_dir):
 @_q(
     "cdc_schema_evolution",
     # The DDL mechanics (zero-rewrite, column ids) are unit-tested; the
-    # OBSERVABLE result is SQL-expressible: the final LWW state with
-    # the added-then-renamed column null-backfilled everywhere (no
-    # event ever carries a value for it).
-    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+    # OBSERVABLE result is SQL-expressible: the final LWW state where a
+    # key's quality_score is populated iff its WINNING event merged at
+    # or after the add fence (f1) — and, because the add is INT while
+    # the final schema is BIGINT via the widen fence (f2), the value
+    # hash also proves the int-written files read back correctly
+    # through the widened id-mapped schema (r4 verdict item #4).
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN},
+f AS (SELECT min(event_id) + (max(event_id) - min(event_id)) // 3 AS f1 FROM cdc)
 SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, lang,
-       CAST(NULL AS DOUBLE) AS quality_score
+       CAST(CASE WHEN event_id >= (SELECT f1 FROM f)
+                 THEN length(text) END AS BIGINT) AS quality_score
 FROM win WHERE rn = 1 AND op <> 'D'""",
 )
 def q_cdc_schema_evolution(spark, sf_dir):
-    """Schema-evolution replay: merge → fenced add_column →
-    merge → rename_column, zero data rewrite; returns the final state
-    with the evolved schema (old rows null-backfilled)."""
+    """Schema-evolution replay with all four DDL classes fenced into
+    the feed: merge → add_column(int) → merge → widen_column(bigint,
+    metadata-only: int files read through the widened schema with zero
+    rewrite) → merge → rename_column. The enrichment emits
+    quality = length(text), so the final state carries real values
+    written under BOTH physical types."""
+    from ais_etl_spark.streaming.ingest import enrich_events
+
     feed = _feed_with_html(spark, sf_dir)
     lo, hi = feed.agg(F.min("event_id"), F.max("event_id")).first()
-    mid = (lo + hi) // 2
+    span = hi - lo
+    f1, f2 = lo + span // 3, lo + (2 * span) // 3
     tmp = tempfile.mkdtemp(prefix="ais-etl-schema-contract-")
     table = LakeTable.create(
         spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
         order_col="warc_ts", n_buckets=16,
     )
     schema_events = [
-        {"kind": "add_column", "col_name": "quality", "col_type": "double",
-         "fence_event_id": mid},
+        {"kind": "add_column", "col_name": "quality", "col_type": "int",
+         "fence_event_id": f1},
+        {"kind": "widen_column", "col_name": "quality", "col_type": "bigint",
+         "fence_event_id": f2},
         {"kind": "rename_column", "col_name": "quality", "new_name": "quality_score",
          "fence_event_id": hi},
     ]
+
+    def enrich_q(df):
+        out = enrich_events(df)
+        q = F.length(F.col("text")).cast("int")
+        # emit under both names so the fence-ordered sub-batches find
+        # the column whichever side of the rename they merge on
+        return out.withColumn("quality", q).withColumn("quality_score", q)
+
+    mid = (lo + hi) // 2
     apply_cdc_batch(
-        table, feed.filter(F.col("event_id") <= mid), "sc-0", schema_events
+        table, feed.filter(F.col("event_id") <= mid), "sc-0", schema_events,
+        transform=enrich_q,
     )
     apply_cdc_batch(
-        table, feed.filter(F.col("event_id") > mid), "sc-1", schema_events
+        table, feed.filter(F.col("event_id") > mid), "sc-1", schema_events,
+        transform=enrich_q,
     )
     return table.read().select(
         "url", _ms("warc_ts").alias("warc_ts_ms"), "lang", "quality_score"

@@ -239,6 +239,46 @@ class LakeTable:
         hit[0]["name"] = new
         return self._commit_schema_change(c, cols, f"rename_column:{old}->{new}")
 
+    # lossless type-widening transitions (Iceberg's schema-evolution
+    # rules): every old file value is exactly representable in the new
+    # type, so the change is METADATA-ONLY — old files read through the
+    # id-mapped schema with a cast, zero rewrite
+    _WIDENS: dict[str, tuple[str, ...]] = {
+        "tinyint": ("smallint", "int", "bigint"),
+        "smallint": ("int", "bigint"),
+        "int": ("bigint",),
+        "float": ("double",),
+    }
+
+    def alter_widen_column(self, name: str, new_type: str) -> int:
+        """Metadata-only TYPE WIDENING (int→bigint, float→double, …):
+        same column id, wider type in a new schema version. Old files
+        keep their narrower physical type and are cast at read time by
+        the schema-version mapping; non-widening changes are rejected
+        (they would need a rewrite). decimal(p,s)→decimal(p',s) with
+        p' ≥ p is also accepted (same scale, more precision)."""
+        c = dict(self.commit())
+        cols = [dict(x) for x in self.schema_cols(c)]
+        hit = [x for x in cols if x["name"] == name]
+        if not hit:
+            raise ValueError(f"no column {name!r}")
+        old_t, new_t = hit[0]["type"].lower(), new_type.lower()
+        ok = new_t in self._WIDENS.get(old_t, ())
+        if not ok and old_t.startswith("decimal(") and new_t.startswith("decimal("):
+            (op, os_), (np_, ns) = (
+                tuple(int(v) for v in t[8:-1].split(",")) for t in (old_t, new_t)
+            )
+            ok = ns == os_ and np_ >= op
+        if not ok:
+            raise ValueError(
+                f"{old_t} -> {new_t} is not a lossless widening; "
+                f"allowed: {self._WIDENS.get(old_t, ())}"
+            )
+        hit[0]["type"] = new_type
+        return self._commit_schema_change(
+            c, cols, f"widen_column:{name}:{old_t}->{new_t}"
+        )
+
     def alter_drop_column(self, name: str) -> int:
         """Metadata-only DROP COLUMN (Iceberg semantics): the column
         leaves the current schema; data files keep their bytes and
@@ -354,7 +394,13 @@ class LakeTable:
             sel = []
             for col in cur_cols:
                 if col["id"] in old_cols:
-                    sel.append(F.col(old_cols[col["id"]]["name"]).alias(col["name"]))
+                    old = old_cols[col["id"]]
+                    expr = F.col(old["name"])
+                    if old["type"].lower() != col["type"].lower():
+                        # type widening: old files keep the narrower
+                        # physical type; the id-mapped read casts up
+                        expr = expr.cast(col["type"])
+                    sel.append(expr.alias(col["name"]))
                 else:
                     sel.append(F.lit(None).cast(col["type"]).alias(col["name"]))
             sel += [F.col(n).cast(t).alias(n) for n, t in internal]
@@ -391,6 +437,10 @@ class LakeTable:
             "files": target["files"],
             "batches": list(target.get("batches", [])),
             "lineage": {"rolled_back_to": snapshot_id},
+            # the event-time high-water mark rolls back WITH the data,
+            # so re-merged corrected batches face the same lateness
+            # cutoff they originally did
+            "hwm_us": target.get("hwm_us"),
         }
         self._write_commit(commit)
         return commit["snapshot_id"]
@@ -533,6 +583,7 @@ class LakeTable:
         batch_id: str,
         post_dedup_transform=None,
         exact_probe_files: int = 64,
+        bounded_lateness_us: int | None = None,
     ) -> dict:
         """Apply a batch of CDC events (op/url/warc_ts/event_id +
         payload columns ⊆ schema) with LWW + tombstones. Idempotent on
@@ -546,6 +597,19 @@ class LakeTable:
         instead of input splits. For an update-heavy feed this cuts
         Python-UDF work by the dup factor and fixes the few-input-
         splits parallelism cliff.
+
+        ``bounded_lateness_us``: OBSERVABLE bounded-lateness policy
+        (the streaming analog of Spark's watermark drop, but with the
+        reference's skip-and-count semantics — audio_manager
+        fastapi_server.py:170-199 — instead of a silent drop): events
+        whose ``order_col`` is more than this many µs older than the
+        table's event-time high-water mark (max order value across all
+        previously MERGED batches, persisted in the commit as
+        ``hwm_us``) are excluded from the merge, written to the
+        ``_quarantine`` dead-letter table with ``reason='late'``, and
+        counted as ``late_events`` in lineage. Default None keeps the
+        exact unbounded-lateness contract (stale events surface as
+        ``stale_noops``).
 
         Physical plan: dedup batch (map-side combine absorbs hot-key
         skew) → persist winners → transform winners → bucket →
@@ -578,13 +642,34 @@ class LakeTable:
             | F.col("op").isNull()
             | ~F.col("op").isin("I", "U", "D")
         )
-        touched, offsets, hit_paths, malformed = self._batch_stats(
-            events, key, c, bad, exact_probe_files
+        prev_hwm = c.get("hwm_us")
+        late = F.lit(False)
+        if bounded_lateness_us is not None and prev_hwm is not None:
+            cutoff_us = int(prev_hwm) - int(bounded_lateness_us)
+            late = (
+                ~bad
+                & F.col(order_col).isNotNull()
+                & (
+                    F.unix_micros(F.col(order_col).cast("timestamp"))
+                    < F.lit(cutoff_us)
+                )
+            )
+        touched, offsets, hit_paths, malformed, n_late, batch_hwm_us = (
+            self._batch_stats(events, key, c, bad, exact_probe_files, late)
+        )
+        hwm_us = max(
+            (v for v in (prev_hwm, batch_hwm_us) if v is not None),
+            default=None,
         )
         valid = events
         if malformed:
             self._write_quarantine(events.filter(bad), batch_id)
-            valid = events.filter(~bad)
+            valid = valid.filter(~bad)
+        if n_late:
+            self._write_quarantine(
+                events.filter(late), f"{batch_id}.late", reason="late"
+            )
+            valid = valid.filter(~late)
 
         # 1. batch-local LWW (one row per key; combiner absorbs skew),
         #    BEFORE the expensive payload transform. NOT materialized —
@@ -599,11 +684,11 @@ class LakeTable:
         )
         return self._merge_winners(
             c, winners, batch_id, touched, hit_paths, post_dedup_transform,
-            offsets, malformed,
+            offsets, malformed, n_late, hwm_us,
         )
 
     def _batch_stats(self, events: DataFrame, key: str, c: dict, bad,
-                     exact_probe_files: int = 64):
+                     exact_probe_files: int = 64, late=None):
         """Pre-pass over the raw events, column-pruned to key+offset
         (never the payload), producing the three merge inputs from ONE
         map-side-combined aggregation (shuffle = at most
@@ -627,30 +712,52 @@ class LakeTable:
            type, so no string-schema special-casing here.
 
         Every key in the batch has a winner, so raw-event buckets ==
-        winner buckets."""
+        winner buckets. ``late`` (optional predicate) splits out a
+        third disposition (bounded-lateness quarantine); the same agg
+        also carries the batch event-time max so merge can advance the
+        persisted high-water mark for free."""
+        order_col = c["order_col"]
+        if late is None:
+            late = F.lit(False)
+        disp = (
+            F.when(bad, F.lit(1)).when(late, F.lit(2)).otherwise(F.lit(0))
+        ).alias("_disp")
         b = self._bucket_expr(F.col(key)).alias("_b")
         has_off = {"source_part", "offset"} <= set(events.columns)
+        hwm_agg = F.max(order_col).alias("_omax")
         if has_off:
-            sel = [F.col(key), b, bad.alias("_bad"), F.col("source_part"), F.col("offset")]
-            gcols = ["source_part", "_b", "_bad"]
+            sel = [F.col(key), F.col(order_col), b, disp,
+                   F.col("source_part"), F.col("offset")]
+            gcols = ["source_part", "_b", "_disp"]
             aggs = [
                 F.min("offset").alias("min_offset"),
                 F.max("offset").alias("max_offset"),
                 F.count("*").alias("events"),
                 F.min(key).alias("_kmin"),
                 F.max(key).alias("_kmax"),
+                hwm_agg,
             ]
         else:
-            sel = [F.col(key), b, bad.alias("_bad")]
-            gcols = ["_b", "_bad"]
+            sel = [F.col(key), F.col(order_col), b, disp]
+            gcols = ["_b", "_disp"]
             aggs = [
                 F.count("*").alias("events"),
                 F.min(key).alias("_kmin"),
                 F.max(key).alias("_kmax"),
+                hwm_agg,
             ]
         all_rows = events.select(*sel).groupBy(*gcols).agg(*aggs).collect()
-        malformed = sum(r["events"] for r in all_rows if r["_bad"])
-        rows = [r for r in all_rows if not r["_bad"]]
+        malformed = sum(r["events"] for r in all_rows if r["_disp"] == 1)
+        n_late = sum(r["events"] for r in all_rows if r["_disp"] == 2)
+        # the high-water mark advances on every non-malformed observed
+        # event (late ones too — mirroring Spark's watermark, a max)
+        omaxes = [
+            self._order_micros(r["_omax"])
+            for r in all_rows
+            if r["_disp"] != 1 and r["_omax"] is not None
+        ]
+        batch_hwm_us = max(omaxes) if omaxes else None
+        rows = [r for r in all_rows if r["_disp"] == 0]
 
         touched = sorted({r["_b"] for r in rows})
         offsets = []
@@ -693,8 +800,8 @@ class LakeTable:
         # Below the threshold the extra Spark job's fixed cost exceeds
         # the IO it saves (measured: ~1-2 s/job at 32 cores).
         if len(hit_paths) >= exact_probe_files:
-            hit_paths = self._exact_probe(events, key, c, hit_paths, bad)
-        return touched, offsets, hit_paths, malformed
+            hit_paths = self._exact_probe(events, key, c, hit_paths, bad | late)
+        return touched, offsets, hit_paths, malformed, n_late, batch_hwm_us
 
     def _exact_probe(
         self, events: DataFrame, key: str, c: dict, candidates: set, bad
@@ -727,12 +834,17 @@ class LakeTable:
             .collect()
         }
 
-    def _write_quarantine(self, bad_events: DataFrame, batch_id: str) -> None:
-        """Dead-letter sink: preserve malformed events row-for-row for
-        inspection/replay. Overwrite-per-batch keeps epoch replays
-        idempotent. Costs a Spark job only when malformed rows exist."""
+    def _write_quarantine(
+        self, bad_events: DataFrame, batch_id: str, reason: str = "malformed"
+    ) -> None:
+        """Dead-letter sink: preserve excluded events row-for-row for
+        inspection/replay, tagged with WHY (``reason``: 'malformed' |
+        'late'). Overwrite-per-batch keeps epoch replays idempotent.
+        Costs a Spark job only when excluded rows exist."""
         d = os.path.join(self.path, _QUARANTINE, f"batch={batch_id}")
-        bad_events.write.mode("overwrite").parquet(d)
+        bad_events.withColumn("reason", F.lit(reason)).write.mode(
+            "overwrite"
+        ).parquet(d)
 
     def quarantine(self) -> DataFrame:
         """All quarantined events with their ``batch`` partition
@@ -745,7 +857,8 @@ class LakeTable:
 
     def _merge_winners(
         self, c, winners, batch_id, touched, hit_paths, post_dedup_transform,
-        offsets, malformed: int = 0,
+        offsets, malformed: int = 0, n_late: int = 0,
+        hwm_us: int | None = None,
     ) -> dict:
         key = c["key"]
         order_col = c["order_col"]
@@ -757,16 +870,20 @@ class LakeTable:
         # 3b. payload transform on winners only (one UDF pass,
         #     post-shuffle partitioning = cores-wide)
         ev = post_dedup_transform(winners) if post_dedup_transform else winners
+        ptypes = {x["name"]: x["type"] for x in cur_cols}
         for p in payload_names:
             if p not in ev.columns:
-                typ = next(x["type"] for x in cur_cols if x["name"] == p)
-                ev = ev.withColumn(p, F.lit(None).cast(typ))
+                ev = ev.withColumn(p, F.lit(None).cast(ptypes[p]))
         incoming = ev.select(
             key,
             order_col,
             F.col(_SEQ),
             (F.col("op") == "D").alias(_DELETED),
-            *payload_names,
+            # cast to the CURRENT schema types: after a widen fence the
+            # transform may still emit the narrower type (e.g. int
+            # length into a bigint column) — files must carry the
+            # schema-version type they are manifested under
+            *[F.col(p).cast(ptypes[p]).alias(p) for p in payload_names],
             F.lit(True).alias("_new"),
         ).withColumn("_bucket", self._bucket_expr(F.col(key)))
 
@@ -849,6 +966,7 @@ class LakeTable:
             "files_carried": len(carry),
             "source_offsets": offsets,
             "malformed": int(malformed),
+            "late_events": int(n_late),
             **{k: int(v or 0) for k, v in counts.items()},
         }
         commit = {
@@ -865,6 +983,7 @@ class LakeTable:
             "files": carry + new_files,
             "batches": list(c.get("batches", [])) + [batch_id],
             "lineage": lineage,
+            "hwm_us": hwm_us if hwm_us is not None else c.get("hwm_us"),
         }
         self._write_commit(commit)
         self._append_lineage(lineage, offsets)
@@ -1059,6 +1178,7 @@ class LakeTable:
             "files": carry + new_files,
             "batches": list(c.get("batches", [])),
             "lineage": {"rows_dropped": dropped},
+            "hwm_us": c.get("hwm_us"),
         }
         self._write_commit(commit)
         return {"files_rewritten": len(hit), "files_carried": len(carry),
@@ -1142,6 +1262,7 @@ class LakeTable:
             "files": carry + new_files,
             "batches": list(c.get("batches", [])),
             "lineage": {"files_before": len(hit), "files_after": len(new_files)},
+            "hwm_us": c.get("hwm_us"),
         }
         self._write_commit(commit)
         return {"files_before": len(hit) + len(carry),

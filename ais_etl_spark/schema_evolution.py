@@ -38,6 +38,12 @@ def apply_schema_event(table: LakeTable, ev: dict) -> bool:
             return False  # already renamed (or never existed)
         table.alter_rename_column(ev["col_name"], ev["new_name"])
         return True
+    if kind == "widen_column":
+        cur = {c["name"]: c["type"].lower() for c in table.schema_cols()}
+        if cur.get(ev["col_name"]) == ev["col_type"].lower():
+            return False  # already widened (idempotent replay)
+        table.alter_widen_column(ev["col_name"], ev["col_type"])
+        return True
     raise ValueError(f"unknown schema event kind {kind!r}")
 
 

@@ -3,7 +3,7 @@ bucket-to-bucket transform job (/root/reference/transformers/tests/
 test_ffmpeg.py:243-256: ``bucket.transform(etl_name, to_bck,
 num_workers=24)`` + ``job.wait()``):
 
-    readStream(change feed) → watermark dedup → vectorized transforms
+    readStream(change feed) → vectorized transforms
     → foreachBatch(MERGE INTO lake table) under a checkpoint
 
 Delivery guarantees (SURVEY §2.3 exactly-once row): Structured
@@ -15,11 +15,12 @@ at-least-once with idempotent overwrite (SURVEY §2.3) — we strengthen
 it because the target is a mutable table, not a keyed object store.
 
 Scale notes:
-- the in-flight dedup (``dropDuplicatesWithinWatermark`` on
-  (url, warc_ts)) bounds streaming state to the watermark horizon; the
-  *long-term* LWW state is the target table itself (merge compares
-  against current rows), so state never grows with key cardinality
-  (10^10-key safe — SURVEY §7 risk item 2).
+- the stream holds NO state at all: per-batch dup collapse is the
+  merge's batch-local LWW, the lateness bound is enforced against the
+  commit-persisted event-time high-water mark, and the *long-term* LWW
+  state is the target table itself (merge compares against current
+  rows) — state never grows with key cardinality (10^10-key safe —
+  SURVEY §7 risk item 2).
 - per-batch work is the bucketed CoW merge: shuffle sized by the batch,
   not the table; table IO sized by touched buckets.
 """
@@ -71,12 +72,24 @@ def enrich_events(events: DataFrame) -> DataFrame:
     )
 
 
+def _duration_us(s: str) -> int:
+    """'2 hours' / '30 minutes' / '500 ms' → microseconds."""
+    qty, unit = s.split()
+    return int(qty) * {
+        "ms": 1_000, "milliseconds": 1_000, "second": 1_000_000,
+        "seconds": 1_000_000, "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+    }[unit]
+
+
 def apply_cdc_batch(
     table: LakeTable,
     events: DataFrame,
     batch_id: str,
     schema_events: list[dict] | None = None,
     transform=None,
+    bounded_lateness_us: int | None = None,
 ) -> dict:
     """Shared batch-apply: fence schema evolution, enrich, merge.
     ``transform`` (df → df, row-wise deterministic) is the per-winner
@@ -97,7 +110,8 @@ def apply_cdc_batch(
     if not schema_events:
         # fast path: no DDL fences → no event_id-range pass needed
         return table.merge(
-            events, batch_id=batch_id, post_dedup_transform=transform
+            events, batch_id=batch_id, post_dedup_transform=transform,
+            bounded_lateness_us=bounded_lateness_us,
         )
 
     lo_hi = events.agg(F.min("event_id"), F.max("event_id")).first()
@@ -111,7 +125,8 @@ def apply_cdc_batch(
             if hi is not None and ev["fence_event_id"] <= hi:
                 apply_schema_event(table, ev)
         return table.merge(
-            events, batch_id=batch_id, post_dedup_transform=transform
+            events, batch_id=batch_id, post_dedup_transform=transform,
+            bounded_lateness_us=bounded_lateness_us,
         )
 
     lineage: dict = {}
@@ -121,13 +136,15 @@ def apply_cdc_batch(
             (F.col("event_id") >= start) & (F.col("event_id") < ev["fence_event_id"])
         )
         lineage = table.merge(
-            sub, batch_id=f"{batch_id}.{i}", post_dedup_transform=transform
+            sub, batch_id=f"{batch_id}.{i}", post_dedup_transform=transform,
+            bounded_lateness_us=bounded_lateness_us,
         )
         apply_schema_event(table, ev)
         start = ev["fence_event_id"]
     tail = events.filter(F.col("event_id") >= start)
     lineage = table.merge(
-        tail, batch_id=f"{batch_id}.tail", post_dedup_transform=transform
+        tail, batch_id=f"{batch_id}.tail", post_dedup_transform=transform,
+        bounded_lateness_us=bounded_lateness_us,
     )
     return lineage
 
@@ -153,16 +170,22 @@ def run_ingest(
     the same checkpoint_dir to resume exactly-once after new feed files
     land — or after a kill.
 
-    Late-data policy: with ``dedup_within_watermark=True`` the stream
-    pre-collapses duplicate (url, warc_ts, op) events within the
-    watermark horizon — a shuffle-volume optimization for noisy
-    at-least-once sources — but by Spark's bounded-lateness contract
-    events arriving *later than the watermark* are then dropped before
-    the sink. Default is OFF: the LWW+idempotent MERGE already absorbs
-    duplicates and stale events exactly (they surface as
-    ``stale_noops`` in lineage), so exact replay equality holds with
-    unbounded lateness. Turn it on only when the source's dup rate
-    justifies trading bounded lateness for shuffle volume.
+    Late-data policy: with ``dedup_within_watermark=True`` the ingest
+    enforces BOUNDED LATENESS with the reference's observable
+    skip-and-count semantics (audio_manager fastapi_server.py:170-199)
+    instead of Spark's silent stateful-operator drop (VERDICT r4 #3):
+    the merge tracks the event-time high-water mark across batches in
+    the table commit, and events older than ``hwm − watermark_delay``
+    are routed to the ``_quarantine`` dead-letter table with
+    ``reason='late'`` and counted as ``late_events`` in lineage —
+    never silently lost, replayable after inspection. In-horizon
+    duplicates are absorbed by the merge's batch-local LWW exactly as
+    before, so no stream-side state is held at all (the former
+    ``dropDuplicatesWithinWatermark`` state is gone). Default is OFF:
+    the LWW+idempotent MERGE already absorbs duplicates and stale
+    events exactly (they surface as ``stale_noops`` in lineage), so
+    exact replay equality holds with unbounded lateness. Turn it on
+    only when the source's true lateness bound is known.
 
     Maintenance: with ``maintenance_every=N``, every N applied batches
     the loop compacts small files back to the table's target size and
@@ -190,10 +213,7 @@ def run_ingest(
     # source needs the glob to descend into them
     stream = reader.parquet(os.path.join(feed_dir, "*"))
 
-    if dedup_within_watermark:
-        stream = stream.withWatermark(
-            "warc_ts", watermark_delay
-        ).dropDuplicatesWithinWatermark(["url", "warc_ts", "op"])
+    bounded_us = _duration_us(watermark_delay) if dedup_within_watermark else None
 
     applied = {"n": 0}
 
@@ -201,6 +221,7 @@ def run_ingest(
         apply_cdc_batch(
             table, batch_df, batch_id=f"epoch-{epoch_id}",
             schema_events=schema_events, transform=transform,
+            bounded_lateness_us=bounded_us,
         )
         applied["n"] += 1
         if maintenance_every and applied["n"] % maintenance_every == 0:

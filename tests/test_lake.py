@@ -462,3 +462,49 @@ def test_commit_fence_rejects_racing_writer(spark, tmpdir_path):
     c["snapshot_id"] = 0  # already committed by create()
     with pytest.raises(RuntimeError, match="already committed"):
         t._write_commit(c)
+
+
+def test_widen_column_metadata_only(spark, tmpdir_path):
+    """int→bigint widening: zero rewrite, old int-physical files read
+    back through the widened id-mapped schema, new files carry bigint,
+    non-widening changes rejected."""
+    schema = SCHEMA + [("hits", "int")]
+    tbl = LakeTable.create(spark, tmpdir_path, schema, n_buckets=4)
+    ddl = EV_DDL + ", hits int"
+    tbl.merge(
+        spark.createDataFrame([(1, "I", "u1", T(1), "a", 7)], ddl), "b1"
+    )
+    files_before = [f["path"] for f in tbl.commit()["files"]]
+    snap_pre = tbl.current_snapshot_id()
+
+    tbl.alter_widen_column("hits", "bigint")
+    # metadata-only: same files, no rewrite
+    assert [f["path"] for f in tbl.commit()["files"]] == files_before
+    got = tbl.read().collect()[0]
+    assert got.hits == 7
+    assert dict(tbl.read().dtypes)["hits"] == "bigint"
+    # time travel to the pre-widen snapshot still reads int
+    assert dict(tbl.read(snap_pre).dtypes)["hits"] == "int"
+
+    # post-widen merge: int-typed input is cast to the schema type,
+    # LWW across the int-file and bigint-file rows works
+    big = (1 << 40)
+    tbl.merge(
+        spark.createDataFrame(
+            [(2, "U", "u1", T(2), "b", big), (3, "I", "u2", T(3), "c", 9)],
+            EV_DDL + ", hits bigint",
+        ),
+        "b2",
+    )
+    vals = {r.url: r.hits for r in tbl.read().collect()}
+    assert vals == {"u1": big, "u2": 9}
+
+    with pytest.raises(ValueError):
+        tbl.alter_widen_column("hits", "int")  # narrowing rejected
+    with pytest.raises(ValueError):
+        tbl.alter_widen_column("text", "bigint")  # non-numeric rejected
+    # decimal precision widening (same scale) accepted
+    tbl.alter_add_column("price", "decimal(10,2)")
+    tbl.alter_widen_column("price", "decimal(20,2)")
+    with pytest.raises(ValueError):
+        tbl.alter_widen_column("price", "decimal(20,4)")  # scale change

@@ -138,3 +138,63 @@ def test_streaming_curated_ingest(spark, tmpdir_path):
     want = {tuple(r) for r in ref.read().drop("html").collect()}
     assert got == want
     feed.unpersist()
+
+
+def test_bounded_lateness_quarantines_late_events(spark, tmpdir_path):
+    """dedup_within_watermark=True: an event older than (high-water
+    mark − watermark_delay) must NOT merge; it lands in _quarantine
+    with reason='late' and is counted in lineage as late_events —
+    the observable skip-and-count policy (never a silent drop)."""
+    from datetime import datetime
+
+    from ais_etl_spark.streaming.ingest import FEED_SCHEMA
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    tbl_dir = os.path.join(tmpdir_path, "tbl")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    os.makedirs(feed_dir)
+    ident = lambda df: df  # noqa: E731 — payloadless feed, no html
+
+    def rows(batch):
+        return spark.createDataFrame(batch, FEED_SCHEMA)
+
+    # batch 1: hwm advances to 12:00
+    rows([
+        (1, "I", "u1", datetime(2026, 1, 1, 10, 0), 0, 1, None),
+        (2, "I", "u2", datetime(2026, 1, 1, 12, 0), 0, 2, None),
+    ]).coalesce(1).write.parquet(os.path.join(feed_dir, "c0.parquet"))
+    tbl = run_ingest(
+        spark, feed_dir, tbl_dir, ckpt, watermark_delay="1 hour",
+        dedup_within_watermark=True, transform=ident,
+    )
+    assert tbl.commit()["hwm_us"] == 1_767_268_800_000_000  # 2026-01-01T12:00Z µs
+
+    # batch 2: one on-time event + one event older than 12:00 − 1 h
+    rows([
+        (3, "U", "u1", datetime(2026, 1, 1, 12, 30), 0, 3, None),
+        (4, "I", "late-url", datetime(2026, 1, 1, 9, 0), 0, 4, None),
+    ]).coalesce(1).write.parquet(os.path.join(feed_dir, "c1.parquet"))
+    tbl = run_ingest(
+        spark, feed_dir, tbl_dir, ckpt, watermark_delay="1 hour",
+        dedup_within_watermark=True, transform=ident,
+    )
+
+    snap = {r["url"]: r for r in tbl.read().collect()}
+    assert "late-url" not in snap  # late event excluded from the merge
+    assert snap["u1"]["warc_ts"] == datetime(2026, 1, 1, 12, 30)
+
+    q = tbl.quarantine().collect()
+    late = [r for r in q if r["reason"] == "late"]
+    assert len(late) == 1 and late[0]["url"] == "late-url"
+    assert tbl.commit()["lineage"]["late_events"] == 1
+    # hwm advanced on the on-time event
+    assert tbl.commit()["hwm_us"] == 1_767_268_800_000_000 + 30 * 60 * 1_000_000
+
+    # default mode regression guard: same late event WITHOUT the flag
+    # merges fine (unbounded lateness is the exact default contract)
+    tbl2_dir = os.path.join(tmpdir_path, "tbl2")
+    tbl2 = run_ingest(
+        spark, feed_dir, tbl2_dir, os.path.join(tmpdir_path, "ckpt2"),
+        transform=ident,
+    )
+    assert "late-url" in {r["url"] for r in tbl2.read().collect()}
