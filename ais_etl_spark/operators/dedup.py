@@ -181,19 +181,47 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    use_udf_signatures: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: band the k-row signature into
     ``bands`` groups, md5 the concatenated band slice, self-join on
-    (band, sig). Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    (band, sig). Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    ``use_udf_signatures=True`` is the 100 TB path: the whole
+    k-signature is computed per doc inside one Arrow-batched UDF
+    (:func:`minhash_signature_udf` — no shingle explode), so the only
+    shuffle before the band join carries n_docs × bands rows. False
+    keeps the explode+hash-agg formulation — the line-by-line oracle
+    twin. Band signatures are bit-identical either way (parity test in
+    tests/test_dedup.py)."""
     rows_per_band = k // bands
-    mh = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
-    band = (
-        mh.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        # array_agg ordered by j → deterministic band signature
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.struct("j", "h")))
-                               .getField("h"))).alias("sig"))
-    )
+    if use_udf_signatures:
+        sig_arr = minhash_signature_udf(k, shingle_n)(F.col(text_col))
+        docs = df.select(F.col(id_col), sig_arr.alias("_sig")).filter(
+            F.col("_sig").isNotNull()
+        )
+        per_band = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+        band = docs.select(
+            F.col(id_col), F.posexplode(per_band).alias("band", "sig")
+        )
+    else:
+        mh = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
+        band = (
+            mh.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+            .groupBy(id_col, "band")
+            # array_agg ordered by j → deterministic band signature
+            .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.struct("j", "h")))
+                                   .getField("h"))).alias("sig"))
+        )
     a = band.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = band.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (

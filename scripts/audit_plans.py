@@ -93,6 +93,38 @@ CHECKS = {
         ("single codec pass", "MapInPandas"),
         ("no shuffle anywhere in the plan", "Exchange", False),
     ],
+    "ivf_assign_pass": [
+        # r5 fix of the r4 #1 scale-killer: cell assignment is ONE
+        # Arrow pass with the centroid matrix in the closure — the old
+        # plan broadcast-expanded the corpus to n × n_cells rows and
+        # then shuffled+sorted ALL of them under a per-vector window
+        ("assignment is a single Arrow pass", "MapInPandas"),
+        ("no window over the assignment stream", "Window", False),
+        ("no join against centroids", "Join", False),
+        ("no shuffle at all", "Exchange", False),
+    ],
+    "sim_ivf_topk": [
+        ("probe join is an equi-join, no cartesian", "CartesianProduct", False),
+        ("no nested-loop fallback", "BroadcastNestedLoopJoin", False),
+        ("assignment/probe run as Arrow passes", "MapInPandas"),
+    ],
+}
+
+
+def _build_ivf_assign_pass(spark, sf_dir):
+    """The bare assignment pass (corpus + trained-or-seed centroids) —
+    audited standalone because inside the full ivf_topk plan the final
+    candidate-rank Window is legitimate and a substring check could
+    not tell the two apart."""
+    import ais_etl_spark.operators.similarity as S
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = S.seed_centroids(emb, 8)
+    return S.ivf_assign(emb, cents)
+
+
+CUSTOM_BUILDERS = {
+    "ivf_assign_pass": _build_ivf_assign_pass,
 }
 
 
@@ -104,7 +136,8 @@ def main() -> None:
     sections = []
     failures = []
     for name, checks in CHECKS.items():
-        df = contract.QUERIES[name](spark, sf_dir)
+        builder = CUSTOM_BUILDERS.get(name) or contract.QUERIES[name]
+        df = builder(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")

@@ -59,6 +59,18 @@ def test_minhash_lsh_finds_dups(docs):
     assert all(3 not in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_minhash_lsh_banded_parity_udf_vs_explode(docs):
+    """The UDF-signature path (scale shape: n_docs × bands shuffle) and
+    the explode+hash-agg path must produce the IDENTICAL banded pair
+    set — parity at the operator output, not just the signatures."""
+    slow = {(r["doc_a"], r["doc_b"])
+            for r in D.minhash_lsh_pairs(docs, k=8, bands=4).collect()}
+    fast = {(r["doc_a"], r["doc_b"])
+            for r in D.minhash_lsh_pairs(
+                docs, k=8, bands=4, use_udf_signatures=True).collect()}
+    assert slow == fast and slow  # identical and non-empty
+
+
 def test_ngram_jaccard(docs):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
            D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}

@@ -163,3 +163,36 @@ def test_hello_world_and_echo(pages):
     assert apply_transform(pages, "echo").columns == pages.columns
     out = apply_transform(pages, "hello_world").select("greeting").distinct().collect()
     assert out == [("Hello World!",)] or out[0].greeting == "Hello World!"
+
+
+def test_xxhash_sql_oracle_bit_exact_edges():
+    """The DuckDB XXH64 transliteration (oracle_xxhash) must be
+    bit-identical to the spec-twin xxhash64_py on every length class:
+    empty, tail-only (<32B), exact stripe boundaries, multi-stripe with
+    every tail combination, and multi-byte UTF-8."""
+    import duckdb
+
+    from ais_etl_spark.oracle_xxhash import xxhash_oracle_sql
+    from ais_etl_spark.transforms.builtin import xxhash64_py
+
+    cases = [
+        "", "a", "abc", "1234567", "12345678", "123456789012",
+        "a" * 31, "b" * 32, "c" * 33, "d" * 40, "e" * 44, "f" * 45,
+        "g" * 63, "h" * 64, "i" * 95, "j" * 100,
+        "héllo wörld ✓ 漢字テスト" * 3,  # multi-byte utf-8
+        "x" * 32 + "tail7..",  # stripe + 8B-less tail
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(cases))
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(xxhash_oracle_sql("documents")).fetchall()
+    }
+    assert len(got) == len(cases)
+    for i, text in enumerate(cases):
+        b = text.encode("utf-8")
+        want = (f"{xxhash64_py(b, 42):016x}", f"{xxhash64_py(b, 7):016x}", True)
+        assert got[i] == want, (i, len(b), got[i], want)
