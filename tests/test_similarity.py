@@ -105,25 +105,88 @@ def test_ivf_topk_trained_recall_not_worse(vecs):
     assert len(trained & exact) >= len(seeded & exact)
 
 
-def test_cosine_topk_join_fallback_parity(spark):
-    """Query sets above max_collect_queries fall back to the join
-    formulation — identical output to the partial-top-k path (same
-    quantized-exact scoring on both)."""
+def _md5_vecs(spark, n=20, dim=8, schema="vec_id long, embedding array<double>"):
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        v = [((int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+               / 0xFFFFFFFF) * 2 - 1) for d in range(dim)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cosine_topk_chunked_parity(spark):
+    """Query sets above max_collect_queries are processed in
+    keyset-paginated CHUNKS (r5: the unconditioned-join fallback is
+    gone) — identical output to the single-chunk path. cap=2 over 6
+    queries forces 3 chunks + the pagination boundary logic."""
     from ais_etl_spark.operators.similarity import cosine_topk
 
-    vecs = _det_vecs(spark) if "_det_vecs" in globals() else None
-    if vecs is None:
-        import hashlib
-
-        rows = []
-        for i in range(20):
-            v = [((int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
-                   / 0xFFFFFFFF) * 2 - 1) for d in range(8)]
-            rows.append((i, v))
-        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = _md5_vecs(spark)
     queries = vecs.filter("vec_id < 6")
     a = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
          for r in cosine_topk(vecs, queries, k=5).collect()}
     b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
          for r in cosine_topk(vecs, queries, k=5, max_collect_queries=2).collect()}
     assert a == b and len(a) == 30
+
+
+def test_cosine_topk_string_ids(spark):
+    """String vec_ids must work end to end (ADVICE r4: the int64-only
+    closure crashed on them), on both the single-chunk and chunked
+    paths, with the same neighbors the numeric-id run produces."""
+    from ais_etl_spark.operators.similarity import cosine_topk
+
+    nums = _md5_vecs(spark, n=12)
+    strs = nums.select(
+        F.format_string("doc-%02d", F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    qn = nums.filter("vec_id < 4")
+    qs = strs.filter("vec_id < 'doc-04'")
+    want = {(f"doc-{r.query_id:02d}", r.rank, f"doc-{r.neighbor_id:02d}", r.cosine)
+            for r in cosine_topk(nums, qn, k=3).collect()}
+    got = {(r.query_id, r.rank, r.neighbor_id, r.cosine)
+           for r in cosine_topk(strs, qs, k=3).collect()}
+    got_chunked = {(r.query_id, r.rank, r.neighbor_id, r.cosine)
+                   for r in cosine_topk(strs, qs, k=3, max_collect_queries=2).collect()}
+    assert got == want and got_chunked == want
+
+
+def test_quantize_overflow_guard():
+    """Vectors outside the exact-int64 envelope must raise, not wrap
+    (ADVICE r4): dim·(1e6·max)² ≥ 2^53 is rejected with a clear
+    message; in-envelope vectors pass."""
+    import numpy as np
+
+    from ais_etl_spark.operators.similarity import _quantize
+
+    ok = np.full((3, 64), 1.0)
+    assert _quantize(ok).shape == (3, 64)
+    bad = np.full((3, 64), 400.0)  # 64·(4e8)² ≈ 1e19 ≫ 2^53
+    with pytest.raises(ValueError, match="quantized cosine out of exact range"):
+        _quantize(bad)
+
+
+def test_ivf_build_persist_and_load(spark, tmpdir_path, vecs):
+    """ivf_build(path=...) persists centroids + cell-partitioned
+    assignments; ivf_topk over the LOADED index returns exactly what
+    the inline-trained query returns (train once, probe many)."""
+    queries = vecs.filter(F.col("vec_id") < 3)
+    inline = {(r.query_id, r.rank, r.neighbor_id, r.cosine)
+              for r in S.ivf_topk(vecs, queries, k=5, n_cells=4, nprobe=2,
+                                  train_iters=2, dim=4).collect()}
+    import os
+
+    idx_path = os.path.join(tmpdir_path, "ivf-idx")
+    S.ivf_build(vecs, n_cells=4, dim=4, train_iters=2, path=idx_path)
+    index = S.ivf_load(spark, idx_path)
+    loaded = {(r.query_id, r.rank, r.neighbor_id, r.cosine)
+              for r in S.ivf_topk(vecs, queries, k=5, nprobe=2,
+                                  index=index).collect()}
+    assert loaded == inline and loaded
+    # assignments persisted cell-partitioned (partition pruning at rest)
+    parts = [d for d in os.listdir(os.path.join(idx_path, "assigned"))
+             if d.startswith("cell=")]
+    assert len(parts) >= 2
