@@ -187,41 +187,53 @@ def minhash_lsh_pairs(
     ``bands`` groups, md5 the concatenated band slice, self-join on
     (band, sig). Returns distinct (doc_a, doc_b), doc_a < doc_b.
 
-    ``use_udf_signatures=True`` is the 100 TB path: the whole
-    k-signature is computed per doc inside one Arrow-batched UDF
-    (:func:`minhash_signature_udf` — no shingle explode), so the only
-    shuffle before the band join carries n_docs × bands rows. False
-    keeps the explode+hash-agg formulation — the line-by-line oracle
-    twin. Band signatures are bit-identical either way (parity test in
-    tests/test_dedup.py)."""
+    Default formulation (the 100 TB shape AND the local fast path):
+    shingles explode map-side only, all k min-hashes reduce in ONE
+    hash-aggregate (JVM md5, map-side combine ⇒ the sole shuffle
+    carries one k-column row per doc), and the band signatures are
+    built DIRECTLY from the k agg columns (no unpivot, no second
+    groupBy) — so the band join input is n_docs × bands rows with
+    zero Python in the path.
+
+    ``use_udf_signatures=True`` swaps the signature step for the
+    Arrow-batched UDF (:func:`minhash_signature_udf` — no shingle
+    explode at all; useful when pathological shingle counts per doc
+    make even the map-side explode too hot). Band signatures are
+    bit-identical across both paths and the naive-unpivot oracle
+    (parity test in tests/test_dedup.py)."""
     rows_per_band = k // bands
-    if use_udf_signatures:
-        sig_arr = minhash_signature_udf(k, shingle_n)(F.col(text_col))
-        docs = df.select(F.col(id_col), sig_arr.alias("_sig")).filter(
-            F.col("_sig").isNotNull()
-        )
-        per_band = F.array(
+
+    def band_cols(h):
+        # h(i) = the i-th minhash column expr, 0-based, ordered by j
+        return F.array(
             *[
                 F.md5(
                     F.concat_ws(
-                        "|", F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                        "|",
+                        *[h(b * rows_per_band + j) for j in range(rows_per_band)],
                     )
                 )
                 for b in range(bands)
             ]
         )
-        band = docs.select(
-            F.col(id_col), F.posexplode(per_band).alias("band", "sig")
+
+    if use_udf_signatures:
+        sig_arr = minhash_signature_udf(k, shingle_n)(F.col(text_col))
+        docs = df.select(F.col(id_col), sig_arr.alias("_sig")).filter(
+            F.col("_sig").isNotNull()
         )
+        per_band = band_cols(lambda i: F.element_at("_sig", i + 1))
     else:
-        mh = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
-        band = (
-            mh.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-            .groupBy(id_col, "band")
-            # array_agg ordered by j → deterministic band signature
-            .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.struct("j", "h")))
-                                   .getField("h"))).alias("sig"))
+        sh = df.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
         )
+        mins = [
+            F.min(_mh(F.lit(j), F.col("s"))).alias(f"_h{j}") for j in range(k)
+        ]
+        docs = sh.groupBy(id_col).agg(*mins)
+        per_band = band_cols(lambda i: F.col(f"_h{i}"))
+    band = docs.select(F.col(id_col), F.posexplode(per_band).alias("band", "sig"))
     a = band.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = band.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
