@@ -1603,7 +1603,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-_CURATED_DEDUP_ORACLE = f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN},
+_CURATED_DEDUP_ORACLE = f"""WITH RECURSIVE {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN},
 w AS (SELECT url AS doc_id, text FROM win WHERE rn = 1 AND op <> 'D'),
 csh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM w),
 mh AS (
@@ -1624,13 +1624,27 @@ inter AS (
   FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
   JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"""
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+und AS (
+  SELECT doc_a AS v, doc_b AS w FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach AS (
+  SELECT v AS doc_id, v AS r FROM und
+  UNION
+  SELECT und.v, reach.r FROM und JOIN reach ON und.w = reach.doc_id
+),
+comp AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT ver.doc_a, ver.doc_b, ver.jaccard, comp.cluster_id
+FROM verified ver JOIN comp ON comp.doc_id = ver.doc_a"""
 
 
 @_q("cdc_curated_dedup", _CURATED_DEDUP_ORACLE)
@@ -1638,7 +1652,10 @@ def q_cdc_curated_dedup(spark, sf_dir):
     """THE FULL LLM-PIPELINE STORY IN ONE ORACLE: stream the CDC feed
     through the engine into the curated lake table, then run near-dup
     detection — banded MinHash-LSH candidates → exact n-gram Jaccard
-    verify — over the CURATED committed text (not a static input
+    verify → CONNECTED-COMPONENT cluster resolution (r5: the
+    keep-one-per-group step; dedup_clusters min-label propagation vs
+    the oracle's recursive-CTE reachability — same canonical min-id
+    labels) — over the CURATED committed text (not a static input
     table). Proves the engine's output feeds the curation operators
     unchanged. The oracle replays the identical chain in ANSI SQL:
     unlike dedup_ngram_jaccard (exact oracle + recall assumption), the
@@ -1648,9 +1665,13 @@ def q_cdc_curated_dedup(spark, sf_dir):
     table = _build_curated_table(spark, sf_dir)
     docs = table.read().select(F.col("url").alias("doc_id"), "text")
     cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
-    return D.ngram_jaccard_pairs(
+    verified = D.ngram_jaccard_pairs(
         docs, shingle_n=3, threshold=0.5, candidates=cand
     )
+    clusters = D.dedup_clusters(verified)
+    return verified.join(
+        clusters, verified["doc_a"] == clusters["doc_id"]
+    ).select("doc_a", "doc_b", "jaccard", "cluster_id")
 
 
 _HEX8 = " + ".join(

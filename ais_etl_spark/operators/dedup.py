@@ -490,6 +490,81 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Resolve verified near-dup PAIRS into duplicate CLUSTERS —
+    connected components with the canonical member as the label. This
+    is the step a curation pipeline needs after pair detection: "keep
+    one doc per duplicate group" requires the GROUPS, not the pairs
+    (pairs (a,b),(b,c) must collapse to one cluster {a,b,c}).
+
+    Algorithm: iterative min-label propagation over the symmetrized
+    edge set — every node starts labeled with itself; each round takes
+    the min of its own and its neighbors' labels; fixpoint = each node
+    carries the minimum id of its component (the deterministic
+    canonical doc). Rounds needed = component diameter, which for
+    near-dup clusters (dense clique-ish groups straight from the
+    pair-verify stage) is 1-2; ``max_iters`` bounds pathological
+    chains. Each round is one edges⋈labels shuffle join + one
+    map-side-combined min-agg, with labels persisted and the previous
+    round unpersisted (the lineage cut every iterative algorithm
+    needs). Works for string and numeric ids (min = lexicographic /
+    numeric respectively — same rule the SQL oracle's recursive CTE
+    applies).
+
+    Input: (doc_a, doc_b) rows. Output: (doc_id, cluster_id) for every
+    doc appearing in a pair; docs with no pair are singletons by
+    definition and are not emitted (left-join + coalesce(id) at the
+    call site to label them)."""
+    edges = pairs.select(F.col("doc_a").alias("_a"), F.col("doc_b").alias("_b"))
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                sym.join(labels, sym["_b"] == labels["doc_id"])
+                .groupBy("_a")
+                .agg(F.min("cluster_id").alias("_nmin"))
+            )
+            new_labels = (
+                labels.join(nbr, labels["doc_id"] == nbr["_a"], "left")
+                .select(
+                    F.col("doc_id"),
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("_nmin"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # detach the result from the persisted lineage so callers can
+        # use it after this function's caches are evicted
+        return labels
+    finally:
+        sym.unpersist()
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

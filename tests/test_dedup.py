@@ -246,3 +246,24 @@ def test_viral_shingle_verify_stage_bounded(spark):
         if (r.doc_a, r.doc_b) in {(0, 1), (2, 3), (4, 5)}
     }
     assert got == exact
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Pair chains must collapse into one cluster labeled by the
+    canonical (min) member — (a,b),(b,c) → {a,b,c}; separate
+    components stay separate; string and numeric ids both work."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> one cluster, label 1
+         (10, 11),                     # separate pair -> label 10
+         (20, 22), (21, 22)],          # star -> label 20
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+    spairs = spark.createDataFrame(
+        [("url-b", "url-a"), ("url-b", "url-c")], "doc_a string, doc_b string"
+    )
+    sgot = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(spairs).collect()}
+    assert sgot == {"url-a": "url-a", "url-b": "url-a", "url-c": "url-a"}
