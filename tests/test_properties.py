@@ -525,3 +525,81 @@ def test_quantized_cosine_engine_bit_equality(vecs):
             assert math.isnan(got[i])
         else:
             assert got[i] == want, (va, vecs[-1], got[i], want)
+
+
+@given(
+    st.lists(st.text(max_size=120), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_xxhash_sql_oracle_property(texts, seed):
+    """The DuckDB XXH64 transliteration must equal the spec twin for
+    ARBITRARY unicode text and ARBITRARY seed (no JVM involved — this
+    pins the oracle itself, independent of the gate corpus)."""
+    import duckdb
+
+    from ais_etl_spark.oracle_xxhash import xxh64_cte
+    from ais_etl_spark.transforms.builtin import xxhash64_py
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    sql = (
+        "WITH RECURSIVE "
+        + xxh64_cte("SELECT doc_id, text FROM documents", (seed,))
+        + "SELECT doc_id, lpad(lower(hex(h)), 16, '0') FROM xxfinal ORDER BY doc_id"
+    )
+    got = dict(con.execute(sql).fetchall())
+    for i, t in enumerate(texts):
+        assert got[i] == f"{xxhash64_py(t.encode('utf-8'), seed):016x}", (
+            i, len(t.encode("utf-8")), seed,
+        )
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Randomized graphs: min-label propagation must produce exactly
+    the union-find components with min-member labels (including long
+    chains that exercise multi-round convergence)."""
+    import random
+
+    from ais_etl_spark.operators import dedup as D
+
+    def union_find(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comps: dict[int, list[int]] = {}
+        for v in parent:
+            comps.setdefault(find(v), []).append(v)
+        return {
+            v: min(members) for members in comps.values() for v in members
+        }
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # always include a 6-hop chain (multi-round propagation)
+        edges += [(100 + i, 101 + i) for i in range(6)]
+        want = union_find(edges)
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in D.dedup_clusters(pairs).collect()
+        }
+        assert got == want, trial
