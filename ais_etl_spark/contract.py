@@ -2199,11 +2199,22 @@ def _diag_txt_fingerprint(spark, sf_dir):
     return T.fingerprint_md5(_t(spark, sf_dir, "documents"))
 
 
+def _diag_txt_decontaminate(spark, sf_dir):
+    """Oracle-checked twin for the decontamination operator (outside
+    the 50-entry driver budget): benchmark = every 37th doc of the
+    corpus itself, 3-gram rule (the corpus' docs are short; production
+    uses the 13-gram rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return D.decontaminate(docs, bench, n=3)
+
+
 DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diag_txt_lang_id": _diag_txt_lang_id,
     "diag_txt_quality": _diag_txt_quality,
     "diag_txt_tokens": _diag_txt_tokens,
     "diag_txt_fingerprint": _diag_txt_fingerprint,
+    "diag_txt_decontaminate": _diag_txt_decontaminate,
 }
 
 DIAGNOSTIC_ORACLES: dict[str, str] = {
@@ -2211,4 +2222,16 @@ DIAGNOSTIC_ORACLES: dict[str, str] = {
     "diag_txt_quality": f"SELECT doc_id, {_QUALITY_COLS_SQL} FROM documents",
     "diag_txt_tokens": f"SELECT doc_id, {_TOKEN_COLS_SQL} FROM documents",
     "diag_txt_fingerprint": f"SELECT doc_id, {_FINGERPRINT_COL_SQL} FROM documents",
+    "diag_txt_decontaminate": f"""WITH dsh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
+), bsh AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 37 = 0
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM dsh JOIN bsh USING (s) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n, 0) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""",
 }

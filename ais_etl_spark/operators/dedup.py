@@ -490,6 +490,53 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the curation step that keeps
+    evaluation data out of the training set: flag every training doc
+    sharing at least one word ``n``-gram with the benchmark corpus
+    (the standard 13-gram overlap rule from public LM data reports;
+    smaller ``n`` for short-document corpora).
+
+    Plan: distinct doc shingles ⋈ distinct benchmark shingles on the
+    shingle string — a plain equi-join. The benchmark side is tiny by
+    nature (eval sets are MBs against a 100 TB training corpus), so
+    AQE broadcasts it from runtime stats; no forced hint, so a huge
+    blocklist degrades to a shuffle join instead of an OOM. Returns
+    one row per doc: (id, n_contaminated_ngrams, contaminated) —
+    docs shorter than ``n`` tokens have no shingles and are clean by
+    definition."""
+    d_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")
+    ).distinct()
+    b_sh = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("s")
+    ).distinct()
+    hits = (
+        d_sh.join(b_sh, "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)).cast(
+                "bigint"
+            ).alias("n_contaminated_ngrams"),
+            (F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Resolve verified near-dup PAIRS into duplicate CLUSTERS —
     connected components with the canonical member as the label. This

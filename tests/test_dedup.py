@@ -267,3 +267,19 @@ def test_dedup_clusters_connected_components(spark):
     )
     sgot = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(spairs).collect()}
     assert sgot == {"url-a": "url-a", "url-b": "url-a", "url-c": "url-a"}
+
+
+def test_decontaminate_flags_benchmark_overlap(spark, docs):
+    """Docs sharing any n-gram with the benchmark corpus are flagged
+    with the shared-distinct-shingle count; clean and too-short docs
+    come back contaminated=False with count 0."""
+    bench = spark.createDataFrame(
+        [(100, "jumps over the lazy dog tonight")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_contaminated_ngrams"], r["contaminated"])
+           for r in D.decontaminate(docs, bench, n=3).collect()}
+    # docs 0/1/2 share 'jumps over the', 'over the lazy', 'the lazy dog'
+    assert got[0] == (3, True) and got[1] == (3, True) and got[2] == (3, True)
+    assert got[3] == (0, False)   # unrelated
+    assert got[4] == (0, False)   # too short for shingles -> clean
+    assert len(got) == len(DOCS)  # one row per input doc
