@@ -2209,7 +2209,51 @@ def _diag_txt_decontaminate(spark, sf_dir):
     return D.decontaminate(docs, bench, n=3)
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _diag_txt_hash_split(spark, sf_dir):
+    """Oracle-checked twin for deterministic sampling/splitting:
+    every doc gets a stable named split plus an independent 25%
+    sample flag — both pure functions of md5(salt:doc_id)."""
+    from ais_etl_spark.operators.sampling import _key_u32, hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(docs, _SPLIT_WEIGHTS)
+    return out.withColumn(
+        "in_sample",
+        _key_u32(F.col("doc_id"), "sample") < F.lit(int(0.25 * (1 << 32))),
+    )
+
+
+def _hash_split_oracle() -> str:
+    def u32(salt: str) -> str:
+        h8 = f"substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        return (
+            "("
+            + " + ".join(
+                f"(strpos('0123456789abcdef', substr({h8}, {c}, 1)) - 1)"
+                f" * {16 ** (8 - c)}"
+                for c in range(1, 9)
+            )
+            + ")"
+        )
+
+    # EXACT float accumulation twin of sampling.hash_split
+    total = sum(_SPLIT_WEIGHTS.values())
+    names = sorted(_SPLIT_WEIGHTS)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        cases.append(f"WHEN {u32('split')} < {int(acc * (1 << 32))} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""SELECT doc_id, {case} AS split,
+       {u32('sample')} < {int(0.25 * (1 << 32))} AS in_sample
+FROM documents"""
+
+
 DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "diag_txt_hash_split": _diag_txt_hash_split,
     "diag_txt_lang_id": _diag_txt_lang_id,
     "diag_txt_quality": _diag_txt_quality,
     "diag_txt_tokens": _diag_txt_tokens,
@@ -2218,6 +2262,7 @@ DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 DIAGNOSTIC_ORACLES: dict[str, str] = {
+    "diag_txt_hash_split": _hash_split_oracle(),
     "diag_txt_lang_id": f"SELECT doc_id, {_LANG_COLS_SQL} FROM documents",
     "diag_txt_quality": f"SELECT doc_id, {_QUALITY_COLS_SQL} FROM documents",
     "diag_txt_tokens": f"SELECT doc_id, {_TOKEN_COLS_SQL} FROM documents",
