@@ -108,6 +108,15 @@ CHECKS = {
         ("no nested-loop fallback", "BroadcastNestedLoopJoin", False),
         ("assignment/probe run as Arrow passes", "MapInPandas"),
     ],
+    "ivf_index_probe": [
+        # the persisted-index path (ivf_build → ivf_topk(index=...)):
+        # assignments live cell-PARTITIONED at rest, and the probe join
+        # triggers dynamic partition pruning — only the nprobe probed
+        # cells' files are read, the at-rest analog of nprobe/n_cells
+        # search cost
+        ("probe prunes index partitions dynamically", "dynamicpruning"),
+        ("no cartesian", "CartesianProduct", False),
+    ],
 }
 
 
@@ -123,8 +132,23 @@ def _build_ivf_assign_pass(spark, sf_dir):
     return S.ivf_assign(emb, cents)
 
 
+def _build_ivf_index_probe(spark, sf_dir):
+    import tempfile
+
+    import ais_etl_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    tmp = tempfile.mkdtemp(prefix="ais-etl-plan-ivf-")
+    idx = S.ivf_build(emb, n_cells=8, dim=64, path=os.path.join(tmp, "idx"))
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, nprobe=2, index=idx
+    )
+
+
 CUSTOM_BUILDERS = {
     "ivf_assign_pass": _build_ivf_assign_pass,
+    "ivf_index_probe": _build_ivf_index_probe,
 }
 
 
