@@ -322,29 +322,68 @@ def q_cdc_changelog(spark, sf_dir):
 
 @_q(
     "cdc_quarantine",
-    f"""WITH {CDC_FEED_ORACLE_CTE.strip()}
-SELECT event_id, CAST(NULL AS VARCHAR) AS op, url,
-       epoch_ms(warc_ts) AS warc_ts_ms
-FROM cdc WHERE event_id % 97 = 0""",
+    f"""WITH {CDC_FEED_ORACLE_CTE.strip()},
+m AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM cdc),
+cdc2 AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE op END AS op,
+         url,
+         CASE WHEN event_id % 89 = 0 AND event_id > (SELECT mid FROM m)
+              THEN warc_ts - INTERVAL 20 DAY ELSE warc_ts END AS warc_ts
+  FROM cdc
+),
+h1 AS (SELECT max(warc_ts) AS hwm FROM cdc2
+       WHERE event_id <= (SELECT mid FROM m) AND op IS NOT NULL)
+SELECT event_id, op, url, epoch_ms(warc_ts) AS warc_ts_ms,
+       'malformed' AS reason
+FROM cdc2 WHERE op IS NULL
+UNION ALL
+SELECT event_id, op, url, epoch_ms(warc_ts) AS warc_ts_ms, 'late' AS reason
+FROM cdc2
+WHERE event_id > (SELECT mid FROM m) AND op IS NOT NULL
+  AND warc_ts < (SELECT hwm FROM h1) - INTERVAL 2 HOUR""",
 )
 def q_cdc_quarantine(spark, sf_dir):
-    """DEAD-LETTER CHECK: corrupt a deterministic subset of the feed
-    (op → NULL on event_id % 97 = 0), merge, and read back the
-    quarantine table — must contain exactly the corrupted events
-    row-for-row (and, implicitly, the merge must have excluded them:
-    the other engine-replay oracles would break otherwise)."""
+    """DEAD-LETTER CHECK, both exclusion policies (r5 adds the late
+    leg): corrupt a deterministic subset (op → NULL on event_id % 97)
+    and time-shift another (warc_ts − 20 days on event_id % 89 in the
+    second batch — the feed's event time correlates with event_id, so
+    lateness must be injected to be testable), merge two ordered
+    batches in bounded-lateness mode, and read back the quarantine
+    table: it must contain exactly the malformed rows
+    (reason='malformed') plus the batch-2 rows older than batch-1's
+    event-time high-water mark minus the 2-hour bound
+    (reason='late'), row-for-row — proving both the routing and the
+    hwm arithmetic against the SQL replay."""
     feed = _feed_with_html(spark, sf_dir).withColumn(
         "op",
         F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(F.col("op")),
+    )
+    lo, hi = feed.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    feed = feed.withColumn(
+        "warc_ts",
+        F.when(
+            (F.col("event_id") % 89 == 0) & (F.col("event_id") > mid),
+            F.col("warc_ts") - F.expr("INTERVAL 20 DAYS"),
+        ).otherwise(F.col("warc_ts")),
     )
     tmp = tempfile.mkdtemp(prefix="ais-etl-quarantine-contract-")
     table = LakeTable.create(
         spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
         order_col="warc_ts", n_buckets=16,
     )
-    apply_cdc_batch(table, feed, batch_id="qr-0")
+    two_hours_us = 2 * 3600 * 1_000_000
+    apply_cdc_batch(
+        table, feed.filter(F.col("event_id") <= mid), batch_id="qr-0",
+        bounded_lateness_us=two_hours_us,
+    )
+    apply_cdc_batch(
+        table, feed.filter(F.col("event_id") > mid), batch_id="qr-1",
+        bounded_lateness_us=two_hours_us,
+    )
     return table.quarantine().select(
-        "event_id", "op", "url", _ms("warc_ts").alias("warc_ts_ms")
+        "event_id", "op", "url", _ms("warc_ts").alias("warc_ts_ms"), "reason"
     )
 
 
