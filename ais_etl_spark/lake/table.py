@@ -646,13 +646,19 @@ class LakeTable:
         late = F.lit(False)
         if bounded_lateness_us is not None and prev_hwm is not None:
             cutoff_us = int(prev_hwm) - int(bounded_lateness_us)
+            order_type = next(
+                x["type"] for x in cur_cols if x["name"] == order_col
+            ).lower()
+            if order_type.startswith("timestamp"):
+                order_us = F.unix_micros(F.col(order_col).cast("timestamp"))
+            else:
+                # numeric order column: hwm and the bound share the
+                # caller's units (the _order_micros passthrough)
+                order_us = F.col(order_col).cast("bigint")
             late = (
                 ~bad
                 & F.col(order_col).isNotNull()
-                & (
-                    F.unix_micros(F.col(order_col).cast("timestamp"))
-                    < F.lit(cutoff_us)
-                )
+                & (order_us < F.lit(cutoff_us))
             )
         touched, offsets, hit_paths, malformed, n_late, batch_hwm_us = (
             self._batch_stats(events, key, c, bad, exact_probe_files, late)
@@ -853,7 +859,13 @@ class LakeTable:
         p = os.path.join(self.path, _QUARANTINE)
         if not os.path.isdir(p):
             return self.spark.createDataFrame([], "batch string")
-        return self.spark.read.option("basePath", p).parquet(p)
+        # batches quarantined before and after a schema evolution of
+        # the FEED may differ in columns — union them, null-padded
+        return (
+            self.spark.read.option("basePath", p)
+            .option("mergeSchema", "true")
+            .parquet(p)
+        )
 
     def _merge_winners(
         self, c, winners, batch_id, touched, hit_paths, post_dedup_transform,
