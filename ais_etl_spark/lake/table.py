@@ -1222,6 +1222,109 @@ class LakeTable:
             "buckets": per_bucket,
         }
 
+    def validate(self, full: bool = False) -> dict:
+        """Integrity audit — the ops tool to run before trusting a
+        snapshot after an incident (Iceberg's metadata/data validation
+        analog). Metadata checks (manifest-only, no scan): every
+        manifest entry's file exists, schema-version pointers resolve,
+        key ranges are ordered, batch fences are unique, and the
+        commit parent chain walks back to the create commit without
+        cycles. ``full=True`` adds ONE data scan over all files:
+        per-file row counts, key ranges, and bucket assignment must
+        match the manifest (compared driver-side via
+        ``input_file_name``), and no live key may appear in two files
+        (the CoW invariant). Returns {"ok", "issues", "checked"}."""
+        c = self.commit()
+        issues: list[str] = []
+        for f in c["files"]:
+            if not os.path.exists(os.path.join(self.path, f["path"])):
+                issues.append(f"missing data file: {f['path']}")
+            if not (0 <= f["schema_version"] < len(c["schemas"])):
+                issues.append(f"bad schema_version on {f['path']}")
+            mn, mx = f.get("min_key"), f.get("max_key")
+            if mn is not None and mx is not None and mn > mx:
+                issues.append(f"inverted key range on {f['path']}")
+            if not (0 <= f["bucket"] < c["n_buckets"]):
+                issues.append(f"bucket out of range on {f['path']}")
+        batches = c.get("batches", [])
+        if len(batches) != len(set(batches)):
+            issues.append("duplicate batch ids in the fence list")
+        # commit chain walks back to the create commit, acyclically
+        seen: set[int] = set()
+        cur = c
+        while cur.get("parent") is not None:
+            sid = cur["snapshot_id"]
+            if sid in seen:
+                issues.append(f"commit chain cycle at snapshot {sid}")
+                break
+            seen.add(sid)
+            try:
+                cur = self.commit(cur["parent"])
+            except FileNotFoundError:
+                issues.append(f"missing parent commit {cur['parent']}")
+                break
+
+        checked = {"files": len(c["files"]), "scanned": False}
+        if full and c["files"]:
+            key = c["key"]
+            expected = {
+                f["path"]: f for f in c["files"]
+            }
+            rows = (
+                self._entries_df(c, c["files"])
+                .withColumn("_file", F.input_file_name())
+                .withColumn("_b", self._bucket_expr(F.col(key)))
+                .groupBy("_file")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min(key).alias("kmin"),
+                    F.max(key).alias("kmax"),
+                    # min==max==manifest bucket ⇔ single correct bucket
+                    # (NOT countDistinct — that plans an Expand + full
+                    # shuffle and kills map-side combine)
+                    F.min("_b").alias("bmin"),
+                    F.max("_b").alias("bmax"),
+                )
+                .collect()
+            )
+            by_suffix = {}
+            for r in rows:
+                path = r["_file"]
+                hit = next(
+                    (p for p in expected if path.endswith(p)), None
+                )
+                if hit is None:
+                    issues.append(f"scanned file not in manifest: {path}")
+                    continue
+                by_suffix[hit] = r
+            for p, f in expected.items():
+                r = by_suffix.get(p)
+                if r is None:
+                    issues.append(f"manifest file produced no rows: {p}")
+                    continue
+                if f.get("n_rows") is not None and r["n"] != f["n_rows"]:
+                    issues.append(
+                        f"row count mismatch on {p}: {r['n']} != {f['n_rows']}"
+                    )
+                if f.get("min_key") is not None and (
+                    r["kmin"] < f["min_key"] or r["kmax"] > f["max_key"]
+                ):
+                    issues.append(f"keys outside manifest range on {p}")
+                if r["bmin"] != f["bucket"] or r["bmax"] != f["bucket"]:
+                    issues.append(f"bucket assignment violated on {p}")
+            dup_live = (
+                self._entries_df(c, c["files"])
+                .filter(~F.col(_DELETED))
+                .groupBy(key)
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            if dup_live:
+                issues.append(f"{dup_live} live keys present in multiple files")
+            checked["scanned"] = True
+        return {"ok": not issues, "issues": issues, "checked": checked}
+
     def compact_small_files(self, small_ratio: float = 0.25) -> dict:
         """Targeted compaction: rewrite ONLY the buckets whose average
         file is below ``small_ratio × max_file_rows`` (or whose files

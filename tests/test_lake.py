@@ -508,3 +508,40 @@ def test_widen_column_metadata_only(spark, tmpdir_path):
     tbl.alter_widen_column("price", "decimal(20,2)")
     with pytest.raises(ValueError):
         tbl.alter_widen_column("price", "decimal(20,4)")  # scale change
+
+
+def test_validate_integrity_audit(spark, tbl, tmpdir_path):
+    """validate(): clean table passes metadata + full-scan checks;
+    injected corruption (deleted data file, forged manifest row count)
+    is reported, not silently accepted."""
+    import json
+    import os
+
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a"), (2, "I", "u2", T(2), "b"),
+                         (3, "I", "u3", T(3), "c")]), "b1")
+    tbl.merge(ev(spark, [(4, "U", "u1", T(4), "a2")]), "b2")
+    res = tbl.validate(full=True)
+    assert res["ok"], res["issues"]
+    assert res["checked"]["scanned"]
+
+    # corruption 1: delete a data file from under the manifest
+    victim = tbl.commit()["files"][0]["path"]
+    os.remove(os.path.join(tbl.path, victim))
+    res = tbl.validate()
+    assert not res["ok"]
+    assert any("missing data file" in i for i in res["issues"])
+
+    # corruption 2 (fresh table): forge a manifest row count
+    from ais_etl_spark.lake import LakeTable
+
+    d2 = os.path.join(tmpdir_path, "t2")
+    t2 = LakeTable.create(spark, d2, SCHEMA, n_buckets=4)
+    t2.merge(ev(spark, [(1, "I", "u1", T(1), "a")]), "b1")
+    cpath = t2._commit_path(t2.current_snapshot_id())
+    c = json.load(open(cpath))
+    c["files"][0]["n_rows"] = 999
+    json.dump(c, open(cpath, "w"))
+    t2 = LakeTable.load(spark, d2)  # commits are cached per instance
+    res = t2.validate(full=True)
+    assert not res["ok"]
+    assert any("row count mismatch" in i for i in res["issues"])
