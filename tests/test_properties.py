@@ -603,3 +603,85 @@ def test_dedup_clusters_matches_union_find(spark):
             for r in D.dedup_clusters(pairs).collect()
         }
         assert got == want, trial
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),      # url index
+            st.integers(min_value=0, max_value=3_600_000),  # ts offset sec
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=2,
+        max_size=24,
+    ),
+    st.integers(min_value=60, max_value=7200),  # lateness bound (sec)
+)
+@settings(max_examples=5, deadline=None)
+def test_bounded_lateness_quarantine_matches_model(spark, tmp_path_factory, raw, bound_s):
+    """Merge-level bounded-lateness property: for ANY event stream split
+    into two batches, batch-2 events older than (batch-1 non-malformed
+    event-time max − bound) — and only those — are quarantined with
+    reason='late'; everything else merges; the hwm advances to the
+    global max. Compared against a pure-Python model."""
+    import datetime as dt
+    import os
+
+    from ais_etl_spark.lake import LakeTable
+
+    base = dt.datetime(2026, 1, 1)
+    events = [
+        (i + 1, op, f"u{u}", base + dt.timedelta(seconds=ts))
+        for i, (u, ts, op) in enumerate(raw)
+    ]
+    mid = len(events) // 2
+    b1, b2 = events[:mid], events[mid:]
+
+    d = str(tmp_path_factory.mktemp("latep"))
+    tbl = LakeTable.create(
+        spark, os.path.join(d, "t"),
+        [("url", "string"), ("warc_ts", "timestamp"), ("text", "string")],
+        n_buckets=4,
+    )
+    ddl = "event_id bigint, op string, url string, warc_ts timestamp, text string"
+    bound_us = bound_s * 1_000_000
+
+    def df(batch):
+        return spark.createDataFrame(
+            [(e, o, u, t, f"x{e}") for e, o, u, t in batch], ddl
+        )
+
+    if b1:
+        tbl.merge(df(b1), "p1", bounded_lateness_us=bound_us)
+    if b2:
+        tbl.merge(df(b2), "p2", bounded_lateness_us=bound_us)
+
+    # model
+    hwm1 = max((t for _e, _o, _u, t in b1), default=None)
+    model_late = set()
+    if b1 and b2 and hwm1 is not None:
+        cutoff = hwm1 - dt.timedelta(seconds=bound_s)
+        model_late = {e for e, _o, _u, t in b2 if t < cutoff}
+
+    q = tbl.quarantine()
+    got_late = (
+        {r["event_id"] for r in q.collect() if r["reason"] == "late"}
+        if "reason" in q.columns else set()
+    )
+    assert got_late == model_late
+    # hwm advanced to the global max (late events still move the max up
+    # only if newer — they never move it down)
+    all_max = max(t for _e, _o, _u, t in events)
+    want_hwm = int(all_max.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert tbl.commit()["hwm_us"] == want_hwm
+    # non-late events all merged or superseded: replay equality on live set
+    live = {(r["url"], r["warc_ts"]) for r in tbl.read().collect()}
+    winners: dict[str, tuple] = {}
+    for e, o, u, t in events:
+        if e in model_late:
+            continue
+        cur = winners.get(u)
+        if cur is None or (t, e) > (cur[0], cur[1]):
+            winners[u] = (t, e, o)
+    want_live = {(u, t) for u, (t, e, o) in winners.items() if o != "D"}
+    assert live == want_live
