@@ -1704,9 +1704,13 @@ def q_cdc_curated_dedup(spark, sf_dir):
     table = _build_curated_table(spark, sf_dir)
     docs = table.read().select(F.col("url").alias("doc_id"), "text")
     cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
+    # materialize the verified pairs ONCE: both dedup_clusters and the
+    # final pair⋈cluster join consume them, and without the checkpoint
+    # the second consumer re-executes the whole curated-read → LSH →
+    # Jaccard chain from scratch (the dominant cost of this gate)
     verified = D.ngram_jaccard_pairs(
         docs, shingle_n=3, threshold=0.5, candidates=cand
-    )
+    ).localCheckpoint(eager=True)
     clusters = D.dedup_clusters(verified)
     return verified.join(
         clusters, verified["doc_a"] == clusters["doc_id"]

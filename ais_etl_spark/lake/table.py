@@ -212,8 +212,13 @@ class LakeTable:
     def spark_schema_ddl(self) -> str:
         return ", ".join(f"{c['name']} {c['type']}" for c in self.schema_cols())
 
-    def alter_add_column(self, name: str, col_type: str) -> int:
-        """Metadata-only ADD COLUMN: new schema version, zero data IO."""
+    def alter_add_column(
+        self, name: str, col_type: str, fence_id: int | None = None
+    ) -> int:
+        """Metadata-only ADD COLUMN: new schema version, zero data IO.
+        ``fence_id`` (the DDL event's fence_event_id) is recorded in the
+        commit's ``applied_fences`` set so crash-replay of the same DDL
+        stream is exactly-once by id, independent of schema shape."""
         c = dict(self.commit())
         cols = [dict(x) for x in self.schema_cols(c)]
         if any(x["name"] == name for x in cols):
@@ -225,9 +230,11 @@ class LakeTable:
             (x["id"] for sc in c["schemas"] for x in sc), default=-1
         ) + 1
         cols.append({"id": next_id, "name": name, "type": col_type})
-        return self._commit_schema_change(c, cols, f"add_column:{name}")
+        return self._commit_schema_change(c, cols, f"add_column:{name}", fence_id)
 
-    def alter_rename_column(self, old: str, new: str) -> int:
+    def alter_rename_column(
+        self, old: str, new: str, fence_id: int | None = None
+    ) -> int:
         """Metadata-only RENAME COLUMN (same column id, new name)."""
         c = dict(self.commit())
         cols = [dict(x) for x in self.schema_cols(c)]
@@ -237,7 +244,9 @@ class LakeTable:
         if not hit:
             raise ValueError(f"no column {old!r}")
         hit[0]["name"] = new
-        return self._commit_schema_change(c, cols, f"rename_column:{old}->{new}")
+        return self._commit_schema_change(
+            c, cols, f"rename_column:{old}->{new}", fence_id
+        )
 
     # lossless type-widening transitions (Iceberg's schema-evolution
     # rules): every old file value is exactly representable in the new
@@ -250,7 +259,9 @@ class LakeTable:
         "float": ("double",),
     }
 
-    def alter_widen_column(self, name: str, new_type: str) -> int:
+    def alter_widen_column(
+        self, name: str, new_type: str, fence_id: int | None = None
+    ) -> int:
         """Metadata-only TYPE WIDENING (int→bigint, float→double, …):
         same column id, wider type in a new schema version. Old files
         keep their narrower physical type and are cast at read time by
@@ -276,10 +287,10 @@ class LakeTable:
             )
         hit[0]["type"] = new_type
         return self._commit_schema_change(
-            c, cols, f"widen_column:{name}:{old_t}->{new_t}"
+            c, cols, f"widen_column:{name}:{old_t}->{new_t}", fence_id
         )
 
-    def alter_drop_column(self, name: str) -> int:
+    def alter_drop_column(self, name: str, fence_id: int | None = None) -> int:
         """Metadata-only DROP COLUMN (Iceberg semantics): the column
         leaves the current schema; data files keep their bytes and
         column ids, so time travel to pre-drop snapshots still sees it
@@ -292,9 +303,12 @@ class LakeTable:
         keep = [x for x in cols if x["name"] != name]
         if len(keep) == len(cols):
             raise ValueError(f"no column {name!r}")
-        return self._commit_schema_change(c, keep, f"drop_column:{name}")
+        return self._commit_schema_change(c, keep, f"drop_column:{name}", fence_id)
 
-    def _commit_schema_change(self, parent: dict, cols: list[dict], op: str) -> int:
+    def _commit_schema_change(
+        self, parent: dict, cols: list[dict], op: str,
+        fence_id: int | None = None,
+    ) -> int:
         commit = dict(parent)
         commit["parent"] = parent["snapshot_id"]
         commit["snapshot_id"] = parent["snapshot_id"] + 1
@@ -303,8 +317,20 @@ class LakeTable:
         commit["schema_version"] = len(commit["schemas"]) - 1
         commit["batch_id"] = None
         commit["lineage"] = {}
+        if fence_id is not None:
+            # durable DDL fence set (the binlog-GTID analog): replay
+            # idempotency is decided by fence id, never by inferring
+            # "already applied" from the current schema shape — which
+            # is ambiguous once a rename follows an add/widen chain
+            commit["applied_fences"] = sorted(
+                set(parent.get("applied_fences", [])) | {int(fence_id)}
+            )
         self._write_commit(commit)
         return commit["snapshot_id"]
+
+    def applied_fences(self) -> set[int]:
+        """DDL fence_event_ids already applied to this table."""
+        return set(self.commit().get("applied_fences", []))
 
     # ------------------------------------------------------------------
     # read (snapshot / time travel)
@@ -441,6 +467,9 @@ class LakeTable:
             # so re-merged corrected batches face the same lateness
             # cutoff they originally did
             "hwm_us": target.get("hwm_us"),
+            # DDL fences roll back with the schema they gated, so a
+            # corrected DDL replay re-applies coherently
+            "applied_fences": target.get("applied_fences", []),
         }
         self._write_commit(commit)
         return commit["snapshot_id"]
@@ -996,6 +1025,7 @@ class LakeTable:
             "batches": list(c.get("batches", [])) + [batch_id],
             "lineage": lineage,
             "hwm_us": hwm_us if hwm_us is not None else c.get("hwm_us"),
+            "applied_fences": c.get("applied_fences", []),
         }
         self._write_commit(commit)
         self._append_lineage(lineage, offsets)
@@ -1191,6 +1221,7 @@ class LakeTable:
             "batches": list(c.get("batches", [])),
             "lineage": {"rows_dropped": dropped},
             "hwm_us": c.get("hwm_us"),
+            "applied_fences": c.get("applied_fences", []),
         }
         self._write_commit(commit)
         return {"files_rewritten": len(hit), "files_carried": len(carry),
@@ -1270,10 +1301,23 @@ class LakeTable:
             expected = {
                 f["path"]: f for f in c["files"]
             }
-            rows = (
+            # ONE scan: project to the audit columns (tiny vs the
+            # corpus) and cache that projection — both the per-file
+            # stats agg and the duplicate-live-key agg read it, so the
+            # data files are opened once even though the two checks
+            # group by different keys
+            audit = (
                 self._entries_df(c, c["files"])
-                .withColumn("_file", F.input_file_name())
-                .withColumn("_b", self._bucket_expr(F.col(key)))
+                .select(
+                    F.input_file_name().alias("_file"),
+                    F.col(key),
+                    self._bucket_expr(F.col(key)).alias("_b"),
+                    F.col(_DELETED),
+                )
+                .persist()
+            )
+            rows = (
+                audit
                 .groupBy("_file")
                 .agg(
                     F.count("*").alias("n"),
@@ -1313,13 +1357,14 @@ class LakeTable:
                 if r["bmin"] != f["bucket"] or r["bmax"] != f["bucket"]:
                     issues.append(f"bucket assignment violated on {p}")
             dup_live = (
-                self._entries_df(c, c["files"])
+                audit
                 .filter(~F.col(_DELETED))
                 .groupBy(key)
                 .count()
                 .filter(F.col("count") > 1)
                 .count()
             )
+            audit.unpersist()
             if dup_live:
                 issues.append(f"{dup_live} live keys present in multiple files")
             checked["scanned"] = True
@@ -1378,6 +1423,7 @@ class LakeTable:
             "batches": list(c.get("batches", [])),
             "lineage": {"files_before": len(hit), "files_after": len(new_files)},
             "hwm_us": c.get("hwm_us"),
+            "applied_fences": c.get("applied_fences", []),
         }
         self._write_commit(commit)
         return {"files_before": len(hit) + len(carry),

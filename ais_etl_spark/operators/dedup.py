@@ -548,11 +548,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     edge set — every node starts labeled with itself; each round takes
     the min of its own and its neighbors' labels; fixpoint = each node
     carries the minimum id of its component (the deterministic
-    canonical doc). Rounds needed = component diameter, which for
-    near-dup clusters (dense clique-ish groups straight from the
-    pair-verify stage) is 1-2; ``max_iters`` bounds pathological
-    chains. Each round is one edges⋈labels shuffle join + one
-    map-side-combined min-agg, with the new labels
+    canonical doc). Each round ALSO pointer-jumps (label := label of
+    one's label — path compression), so rounds needed are
+    O(log diameter), not O(diameter): a 1000-doc templated chain
+    converges in ~10 rounds instead of 999. Near-dup clusters are
+    dense clique-ish groups straight from the pair-verify stage
+    (diameter 1-2); ``max_iters`` bounds pathological inputs, and
+    exhausting it RAISES rather than returning silently-wrong labels
+    (a split component would under-dedup with no signal). Each round
+    is one edges⋈labels shuffle join + one map-side-combined min-agg
+    + one labels⋈labels compression join, with the new labels
     ``localCheckpoint``-ed — persist alone caches DATA but the logical
     plan still nests every prior round and Catalyst re-analysis blows
     up the driver after ~8 self-referencing iterations (measured: OOM
@@ -586,13 +591,33 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 .groupBy("_a")
                 .agg(F.min("cluster_id").alias("_nmin"))
             )
+            propagated = labels.join(
+                nbr, labels["doc_id"] == nbr["_a"], "left"
+            ).select(
+                F.col("doc_id"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_nmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            # pointer jumping: label := min(label, label(label)).
+            # cluster_id is always some node's doc_id, so the self-join
+            # compresses 2-hop chains every round → O(log diameter).
             new_labels = (
-                labels.join(nbr, labels["doc_id"] == nbr["_a"], "left")
+                propagated.alias("l")
+                .join(
+                    propagated.select(
+                        F.col("doc_id").alias("_cid"),
+                        F.col("cluster_id").alias("_cmin"),
+                    ),
+                    F.col("l.cluster_id") == F.col("_cid"),
+                    "left",
+                )
                 .select(
-                    F.col("doc_id"),
+                    F.col("l.doc_id").alias("doc_id"),
                     F.least(
-                        F.col("cluster_id"),
-                        F.coalesce(F.col("_nmin"), F.col("cluster_id")),
+                        F.col("l.cluster_id"),
+                        F.coalesce(F.col("_cmin"), F.col("l.cluster_id")),
                     ).alias("cluster_id"),
                 )
                 .localCheckpoint(eager=True)
@@ -605,8 +630,12 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             )
             labels = new_labels
             if changed == 0:
-                break
-        return labels
+                return labels
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — component diameter "
+            f"exceeds 2^{max_iters}; raise max_iters"
+        )
     finally:
         sym.unpersist()
 

@@ -141,11 +141,16 @@ def _score_chunk_local_topk(
     rows.
 
     Ids are carried in their NATIVE type (ADVICE r4: the previous
-    int64-only closure crashed on string vec_ids): numeric ids ride an
-    int64 fast path; any other type goes through object arrays with
-    numpy '<U' tie-break sorting (code-point order — matches Spark's
-    UTF-16 comparison for all non-supplementary text, and ties only
-    matter between exactly-equal 6-dp cosines anyway)."""
+    int64-only closure crashed on string vec_ids), and the LOCAL
+    tie-break must totally agree with the global window's native
+    ``F.asc(neighbor_id)`` — a divergent local order can discard the
+    very row the global rank expects at a tied-cosine k boundary. So
+    the sort key is chosen by id kind: int64 for integer types,
+    float64 for float/double, numpy '<U' for strings (code-point
+    order — matches Spark's UTF-16 comparison for all
+    non-supplementary text), and a Python ``sorted`` fallback for
+    anything else (e.g. decimal — rare, so correctness beats
+    vectorization there)."""
     import numpy as np
     import pandas as pd
 
@@ -153,6 +158,8 @@ def _score_chunk_local_topk(
         qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     else:
         qids = np.array([r["qid"] for r in q_rows], dtype=object)
+    id_is_float = id_sql_type in ("float", "double")
+    id_is_string = id_sql_type == "string"
     Q = _quantize(np.array([r["qv"] for r in q_rows], dtype=np.float64))
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
 
@@ -176,8 +183,19 @@ def _score_chunk_local_topk(
                     continue
                 kk = min(k, nj.size)
                 # exact local top-k under (cosine desc, neighbor asc)
-                sort_ids = nj if id_is_numeric else nj.astype("U")
-                order = np.lexsort((sort_ids, -cj))[:kk]
+                # — same total order the global rank window applies
+                if id_is_numeric:
+                    order = np.lexsort((nj, -cj))[:kk]
+                elif id_is_float:
+                    order = np.lexsort((nj.astype(np.float64), -cj))[:kk]
+                elif id_is_string:
+                    order = np.lexsort((nj.astype("U"), -cj))[:kk]
+                else:
+                    order = np.array(
+                        sorted(range(nj.size),
+                               key=lambda i: (-cj[i], nj[i]))[:kk],
+                        dtype=np.int64,
+                    )
                 out_q.append(np.full(kk, qids[j], dtype=qids.dtype))
                 out_n.append(nj[order])
                 out_c.append(cj[order])

@@ -100,8 +100,9 @@ def apply_cdc_batch(
     fence the batch exactly like DDL statements ordered within a binlog:
     data events with event_id < fence merge under the pre-DDL schema,
     the ALTER applies, then events ≥ fence merge under the new schema.
-    Already-applied DDL is skipped by inspecting the current schema, and
-    sub-batch ids are deterministic — idempotent across epoch replays.
+    Already-applied DDL is skipped by its fence_event_id against the
+    table's durable applied-fence set, and sub-batch ids are
+    deterministic — idempotent across epoch replays.
     """
     from ais_etl_spark.schema_evolution import apply_schema_event
 
@@ -116,14 +117,23 @@ def apply_cdc_batch(
 
     lo_hi = events.agg(F.min("event_id"), F.max("event_id")).first()
     lo, hi = lo_hi[0], lo_hi[1]
-    fences = sorted(
-        (ev for ev in (schema_events or []) if lo is not None and lo < ev["fence_event_id"] <= hi),
-        key=lambda e: e["fence_event_id"],
-    )
-    if not fences:
-        for ev in sorted(schema_events or [], key=lambda e: e["fence_event_id"]):
-            if hi is not None and ev["fence_event_id"] <= hi:
+    # catch-up: every fence due AT or before the batch's first event
+    # applies before any row merges. This must run whether or not
+    # further fences fall inside the batch — a fence with
+    # fence_event_id == lo gates THIS batch's first rows, and skipping
+    # it would merge them under the pre-DDL schema (dropping their new
+    # column's values silently).
+    ordered_fences = sorted(schema_events or [],
+                            key=lambda e: e["fence_event_id"])
+    if lo is not None:
+        for ev in ordered_fences:
+            if ev["fence_event_id"] <= lo:
                 apply_schema_event(table, ev)
+    fences = [
+        ev for ev in ordered_fences
+        if lo is not None and lo < ev["fence_event_id"] <= hi
+    ]
+    if not fences:
         return table.merge(
             events, batch_id=batch_id, post_dedup_transform=transform,
             bounded_lateness_us=bounded_lateness_us,

@@ -283,3 +283,31 @@ def test_decontaminate_flags_benchmark_overlap(spark, docs):
     assert got[3] == (0, False)   # unrelated
     assert got[4] == (0, False)   # too short for shingles -> clean
     assert len(got) == len(DOCS)  # one row per input doc
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark):
+    """A 40-doc templated chain (diameter 39) — naive min-label
+    propagation needs 39 rounds; the pointer-jumping round halves the
+    remaining distance, so 10 rounds must suffice and the whole chain
+    collapses to ONE cluster labeled by the minimum id."""
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(39)],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(pairs, max_iters=10).collect()
+    }
+    assert len(got) == 40
+    assert set(got.values()) == {"d00"}
+
+
+def test_dedup_clusters_raises_instead_of_wrong_labels(spark):
+    """Exhausting max_iters with labels still moving must RAISE — a
+    silently split component would under-dedup with no signal."""
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(8)],
+        "doc_a string, doc_b string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(pairs, max_iters=1)

@@ -545,3 +545,52 @@ def test_validate_integrity_audit(spark, tbl, tmpdir_path):
     res = t2.validate(full=True)
     assert not res["ok"]
     assert any("row count mismatch" in i for i in res["issues"])
+
+
+def test_ddl_fence_replay_exactly_once_by_fence_id(spark, tbl):
+    """Crash-replay of a DDL epoch whose fence chain ends in a rename:
+    idempotency is decided by the durable applied_fences set, never by
+    inferring "already applied" from the schema shape — after
+    add→widen→rename, a shape check would re-add the renamed column
+    (duplicate) or raise on the replayed widen."""
+    from ais_etl_spark.schema_evolution import apply_due_schema_events
+
+    evs = [
+        {"fence_event_id": 10, "kind": "add_column",
+         "col_name": "quality", "col_type": "int"},
+        {"fence_event_id": 20, "kind": "widen_column",
+         "col_name": "quality", "col_type": "bigint"},
+        {"fence_event_id": 30, "kind": "rename_column",
+         "col_name": "quality", "new_name": "quality_score"},
+    ]
+    assert apply_due_schema_events(tbl, evs, 30) == 3
+    names = [c["name"] for c in tbl.schema_cols()]
+    assert "quality_score" in names and "quality" not in names
+    snap = tbl.current_snapshot_id()
+
+    # full-epoch replay: zero re-applies, zero new commits
+    assert apply_due_schema_events(tbl, evs, 30) == 0
+    assert tbl.current_snapshot_id() == snap
+    assert [c["name"] for c in tbl.schema_cols()] == names
+
+    # partial replay window [widen, rename] — the widen must not raise
+    # "no column quality" (its target was renamed away)
+    assert apply_due_schema_events(tbl, evs[1:], 30) == 0
+    assert tbl.current_snapshot_id() == snap
+
+    # the fence set survives data commits and maintenance commits
+    df = spark.createDataFrame(
+        [(1, "I", "u1", T(1), "a", 7)],
+        "event_id bigint, op string, url string, warc_ts timestamp, "
+        "text string, quality_score bigint",
+    )
+    tbl.merge(df, "b1")
+    tbl.compact()
+    assert tbl.applied_fences() == {10, 20, 30}
+    assert apply_due_schema_events(tbl, evs, 30) == 0
+
+    # rollback to the pre-DDL snapshot re-opens the fences WITH the
+    # schema they gated, so corrected DDL replay re-applies coherently
+    tbl.rollback(0)
+    assert tbl.applied_fences() == set()
+    assert apply_due_schema_events(tbl, evs, 30) == 3

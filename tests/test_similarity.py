@@ -190,3 +190,21 @@ def test_ivf_build_persist_and_load(spark, tmpdir_path, vecs):
     parts = [d for d in os.listdir(os.path.join(idx_path, "assigned"))
              if d.startswith("cell=")]
     assert len(parts) >= 2
+
+
+def test_cosine_topk_float_ids_numeric_tiebreak(spark):
+    """Float/double vec_ids must tie-break NUMERICALLY in the local
+    partial-top-k pass, exactly as the global window's F.asc does —
+    the former '<U' string sort ordered '10.0' < '2.0' < '9.0' and
+    discarded the very neighbor the global rank expected at a
+    tied-cosine k boundary."""
+    v = [1.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(2.0, v), (9.0, v), (10.0, v)],
+        "vec_id double, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0.5, v)], "vec_id double, embedding array<double>"
+    )
+    got = S.cosine_topk(corpus, queries, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in got] == [2.0, 9.0]

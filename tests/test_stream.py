@@ -198,3 +198,54 @@ def test_bounded_lateness_quarantines_late_events(spark, tmpdir_path):
         transform=ident,
     )
     assert "late-url" in {r["url"] for r in tbl2.read().collect()}
+
+
+def test_ddl_fence_at_batch_lower_bound(spark, tmpdir_path):
+    """A fence whose fence_event_id EQUALS the batch's first event_id
+    gates the entire batch: it must apply before any row merges, even
+    when another fence falls strictly inside the same batch (the old
+    strict lo < fence filter dropped it exactly when the catch-up
+    branch didn't run, silently merging the head rows under the
+    pre-DDL schema)."""
+    from ais_etl_spark.lake import LakeTable
+    from ais_etl_spark.streaming.ingest import apply_cdc_batch
+    from datetime import datetime, timedelta
+
+    tbl = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"),
+        [("url", "string"), ("warc_ts", "timestamp"), ("text", "string")],
+        n_buckets=4,
+    )
+    sev = [
+        {"fence_event_id": 100, "kind": "add_column",
+         "col_name": "quality", "col_type": "double"},
+        {"fence_event_id": 110, "kind": "add_column",
+         "col_name": "badge", "col_type": "string"},
+    ]
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (i, "I", f"u{i}", t0 + timedelta(seconds=i), f"t{i}",
+         float(i), f"b{i}")
+        for i in range(100, 120)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, op string, url string, warc_ts timestamp, "
+        "text string, quality double, badge string",
+    )
+    apply_cdc_batch(tbl, events, "b1", schema_events=sev,
+                    transform=lambda df: df)
+    got = {r["url"]: (r["quality"], r["badge"]) for r in tbl.read().collect()}
+    # head rows [100, 110): quality fence (== lo) applied BEFORE them;
+    # badge fence (@110) after them
+    assert got["u100"] == (100.0, None)
+    assert got["u109"] == (109.0, None)
+    # tail rows [110, 120): both columns live
+    assert got["u110"] == (110.0, "b110")
+    assert got["u119"] == (119.0, "b119")
+
+    # epoch replay: batch fences + DDL fence ids both hold
+    snap = tbl.current_snapshot_id()
+    apply_cdc_batch(tbl, events, "b1", schema_events=sev,
+                    transform=lambda df: df)
+    assert tbl.current_snapshot_id() == snap
