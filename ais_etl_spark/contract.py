@@ -2295,7 +2295,44 @@ def _hash_split_oracle() -> str:
 FROM documents"""
 
 
+def _diag_cdc_incremental_agg(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE twin (outside the 50-entry driver
+    budget): merge the CDC feed into a lake table in two halves; a
+    per-lang count/sum MaterializedAggregate bootstrapped at the
+    MIDPOINT snapshot and advanced only by the changelog delta
+    (changes(with_preimages=True): −pre-image, +post-image) must equal
+    the full-replay GROUP BY over the final LWW state — including
+    rows whose update MOVED them between langs and groups emptied by
+    deletes."""
+    from ais_etl_spark.lake import MaterializedAggregate
+
+    feed = cdc_feed_from_events(spark, sf_dir)
+    evd = feed.select(
+        "event_id", "op", "url", "warc_ts", "lang",
+        F.when(F.col("op") != "D", F.length("text"))
+        .cast("bigint").alias("n_chars"),
+    )
+    lo, hi = evd.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="ais-etl-ivm-contract-")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "pages"),
+        [("url", "string"), ("warc_ts", "timestamp"),
+         ("lang", "string"), ("n_chars", "bigint")],
+        key="url", order_col="warc_ts", n_buckets=8,
+    )
+    table.merge(evd.filter(F.col("event_id") <= mid), "ivm-0")
+    mv = MaterializedAggregate.create(
+        spark, os.path.join(tmp, "mv"), table,
+        group_cols=["lang"], sum_cols=["n_chars"],
+    )
+    table.merge(evd.filter(F.col("event_id") > mid), "ivm-1")
+    mv.refresh(table)
+    return mv.read()
+
+
 DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "diag_cdc_incremental_agg": _diag_cdc_incremental_agg,
     "diag_txt_hash_split": _diag_txt_hash_split,
     "diag_txt_lang_id": _diag_txt_lang_id,
     "diag_txt_quality": _diag_txt_quality,
@@ -2305,6 +2342,10 @@ DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 DIAGNOSTIC_ORACLES: dict[str, str] = {
+    "diag_cdc_incremental_agg": f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS sum_n_chars
+FROM win WHERE rn = 1 AND op <> 'D' GROUP BY lang""",
     "diag_txt_hash_split": _hash_split_oracle(),
     "diag_txt_lang_id": f"SELECT doc_id, {_LANG_COLS_SQL} FROM documents",
     "diag_txt_quality": f"SELECT doc_id, {_QUALITY_COLS_SQL} FROM documents",

@@ -1429,21 +1429,86 @@ class LakeTable:
         return {"files_before": len(hit) + len(carry),
                 "files_after": len(new_files) + len(carry)}
 
+    def rebucket(self, n_buckets: int) -> dict:
+        """Bucket-layout evolution (Iceberg's partition-spec evolution,
+        restricted to the hash-bucket spec this table uses): rewrite
+        the table into ``n_buckets`` buckets in one commit. A growing
+        table needs this when the create-time bucket count no longer
+        matches its size — at 100 TB a 16-bucket layout puts ~6 TB
+        behind one bucket, so every merge touching it rewrites huge
+        file sets; doubling the buckets halves that rewrite
+        amplification and widens merge/read parallelism.
+
+        This is the ONE whole-table rewrite in the maintenance surface
+        (everything else is file-granular); schedule it like a major
+        compaction. Data, tombstones, batch fences, the event-time
+        high-water mark, and applied DDL fences all carry through, and
+        readers/writers pick the new layout up atomically from the
+        commit — `_bucket_expr`, merge pruning, and point lookups all
+        derive bucket numbers from the CURRENT commit's n_buckets.
+        Returns {files_before, files_after, n_buckets}."""
+        c = self.commit()
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        if n_buckets == c["n_buckets"]:
+            return {"files_before": len(c["files"]),
+                    "files_after": len(c["files"]), "n_buckets": n_buckets}
+        rows = self._entries_df(c, c["files"]).withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(c["key"])), F.lit(n_buckets)).cast("int"),
+        )
+        snap_id = c["snapshot_id"] + 1
+        new_files = self._write_data(
+            rows, c, f"{_DATA}/snap{snap_id:012d}", n_parts=n_buckets
+        )
+        commit = {
+            **{k: c[k] for k in ("schema_version", "schemas", "key",
+                                 "order_col", "max_file_rows")},
+            "n_buckets": n_buckets,
+            "snapshot_id": snap_id,
+            "parent": c["snapshot_id"],
+            "batch_id": None,
+            "operation": f"rebucket:{c['n_buckets']}->{n_buckets}",
+            "files": new_files,
+            "batches": list(c.get("batches", [])),
+            "lineage": {"files_before": len(c["files"]),
+                        "files_after": len(new_files)},
+            "hwm_us": c.get("hwm_us"),
+            "applied_fences": c.get("applied_fences", []),
+        }
+        self._write_commit(commit)
+        return {"files_before": len(c["files"]),
+                "files_after": len(new_files), "n_buckets": n_buckets}
+
     # ------------------------------------------------------------------
     # incremental changelog (CDC OUT — Iceberg's incremental scan)
     # ------------------------------------------------------------------
 
-    def changes(self, from_snapshot: int, to_snapshot: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        with_preimages: bool = False,
+    ) -> DataFrame:
         """Row-level changelog between two snapshots, reading ONLY the
         files that changed (added/removed from the manifest) — the
         feed a downstream consumer tails to stay in sync without
         re-scanning the table.
 
-        Output: table columns + ``change_type`` ∈ {insert, update,
-        delete}. Semantics per key: live→live with a newer
+        Default output: table columns + ``change_type`` ∈ {insert,
+        update, delete}. Semantics per key: live→live with a newer
         (order_col, seq) = update; absent-or-tombstone→live = insert;
         live→tombstone = delete; carried rows rewritten only for file
-        splits/compaction produce NO change row (same version)."""
+        splits/compaction produce NO change row (same version).
+
+        ``with_preimages=True`` switches to the Delta-CDF dialect a
+        DELTA CONSUMER (e.g. incremental aggregate maintenance) needs:
+        updates emit TWO rows — ``update_preimage`` (the replaced
+        values) and ``update_postimage`` — and ``delete`` rows carry
+        the deleted row's values (the default dialect's delete carries
+        the tombstone's nulls). Pre-images are id-mapped into the
+        target snapshot's schema, so adds/renames/widenings between
+        the two snapshots read coherently."""
         cf = self.commit(from_snapshot)
         ct = self.commit(to_snapshot)
         key = ct["key"]
@@ -1454,10 +1519,26 @@ class LakeTable:
         added = [f for f in ct["files"] if f["path"] not in from_paths]
         cols = [c["name"] for c in self.schema_cols(ct)]
 
-        old = self._entries_df(cf, removed).select(
-            F.col(key).alias("_k"),
-            F.struct(F.col(order_col), F.col(_SEQ), F.col(_DELETED)).alias("_ov"),
-        )
+        old_raw = self._entries_df(cf, removed)
+        old_cols = [F.col(key).alias("_k"),
+                    F.struct(F.col(order_col), F.col(_SEQ),
+                             F.col(_DELETED)).alias("_ov")]
+        if with_preimages:
+            # project the pre-image payload into ct's schema BY COLUMN
+            # ID (renames keep their values; columns added after the
+            # pre-image read as null)
+            cf_by_id = {x["id"]: x for x in self.schema_cols(cf)}
+            for col in self.schema_cols(ct):
+                if col["name"] == key:
+                    continue
+                src = cf_by_id.get(col["id"])
+                expr = (
+                    F.col(src["name"]).cast(col["type"])
+                    if src is not None
+                    else F.lit(None).cast(col["type"])
+                )
+                old_cols.append(expr.alias(f"_pre_{col['name']}"))
+        old = old_raw.select(*old_cols)
         new = self._entries_df(ct, added).select(
             F.col(key).alias("_k"),
             F.struct(F.col(order_col), F.col(_SEQ), F.col(_DELETED)).alias("_nv"),
@@ -1479,15 +1560,32 @@ class LakeTable:
             .when(~o_del & ~n_del, "update")
             .otherwise(F.lit(None))                           # tombstone refresh
         )
-        return (
-            j.withColumn("change_type", change)
-            .filter(F.col("change_type").isNotNull())
-            .select(
+        base = j.withColumn("change_type", change).filter(
+            F.col("change_type").isNotNull()
+        )
+        if not with_preimages:
+            return base.select(
                 F.col("_k").alias(key),
                 *[F.col(c) for c in cols if c != key],
                 "change_type",
             )
+        post = base.filter(F.col("change_type") != "delete").select(
+            F.col("_k").alias(key),
+            *[F.col(c) for c in cols if c != key],
+            F.when(F.col("change_type") == "update", "update_postimage")
+            .otherwise("insert")
+            .alias("change_type"),
         )
+        pre = base.filter(
+            F.col("change_type").isin("update", "delete")
+        ).select(
+            F.col("_k").alias(key),
+            *[F.col(f"_pre_{c}").alias(c) for c in cols if c != key],
+            F.when(F.col("change_type") == "update", "update_preimage")
+            .otherwise("delete")
+            .alias("change_type"),
+        )
+        return post.unionByName(pre)
 
     # ------------------------------------------------------------------
     # lineage table

@@ -594,3 +594,100 @@ def test_ddl_fence_replay_exactly_once_by_fence_id(spark, tbl):
     tbl.rollback(0)
     assert tbl.applied_fences() == set()
     assert apply_due_schema_events(tbl, evs, 30) == 3
+
+
+def test_changes_with_preimages_delta_cdf_dialect(spark, tbl):
+    """with_preimages=True: updates emit preimage+postimage rows and
+    deletes carry the DELETED row's values (the default dialect's
+    delete carries the tombstone's nulls) — the exact feed a delta
+    consumer (incremental aggregate maintenance) applies as −old/+new."""
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a"),
+                         (2, "I", "u2", T(1), "b")]), "b1")
+    s1 = tbl.current_snapshot_id()
+    tbl.merge(ev(spark, [(3, "U", "u1", T(2), "a2"),
+                         (4, "D", "u2", T(2), None),
+                         (5, "I", "u3", T(2), "c")]), "b2")
+    rows = {
+        (r["url"], r["change_type"]): r["text"]
+        for r in tbl.changes(s1, with_preimages=True).collect()
+    }
+    assert rows == {
+        ("u1", "update_preimage"): "a",
+        ("u1", "update_postimage"): "a2",
+        ("u2", "delete"): "b",
+        ("u3", "insert"): "c",
+    }
+    # default dialect unchanged: one row per change, delete = nulls
+    legacy = {
+        (r["url"], r["change_type"]): r["text"]
+        for r in tbl.changes(s1).collect()
+    }
+    assert legacy == {
+        ("u1", "update"): "a2",
+        ("u2", "delete"): None,
+        ("u3", "insert"): "c",
+    }
+
+
+def test_changes_preimages_across_schema_evolution(spark, tbl):
+    """Pre-images are id-mapped into the TO-snapshot's schema: a
+    rename between the snapshots keeps the old values under the new
+    name; a column added between them reads null in the pre-image."""
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a")]), "b1")
+    s1 = tbl.current_snapshot_id()
+    tbl.alter_add_column("quality", "int")
+    tbl.alter_rename_column("text", "body")
+    df = spark.createDataFrame(
+        [(2, "U", "u1", T(2), "a2", 5)],
+        "event_id bigint, op string, url string, warc_ts timestamp, "
+        "body string, quality int",
+    )
+    tbl.merge(df, "b2")
+    rows = {
+        r["change_type"]: (r["body"], r["quality"])
+        for r in tbl.changes(s1, with_preimages=True).collect()
+    }
+    assert rows == {
+        "update_preimage": ("a", None),
+        "update_postimage": ("a2", 5),
+    }
+
+
+def test_rebucket_layout_evolution(spark, tmpdir_path):
+    """rebucket(n): one whole-table rewrite commit; data, lookups,
+    merge pruning, batch fences, and the changelog all stay coherent
+    under the new layout."""
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=2,
+                           max_file_rows=50)
+    tbl.merge(
+        ev(spark, [(i, "I", f"u{i}", T(i), f"t{i}") for i in range(100)]),
+        "b1",
+    )
+    s_before = tbl.current_snapshot_id()
+    before = {r.url: r.text for r in tbl.read().collect()}
+
+    res = tbl.rebucket(8)
+    assert res["n_buckets"] == 8 and tbl.commit()["n_buckets"] == 8
+    assert {r.url: r.text for r in tbl.read().collect()} == before
+    buckets = {f["bucket"] for f in tbl.commit()["files"]}
+    assert buckets <= set(range(8)) and len(buckets) > 2
+
+    # same (order, seq) versions → rebucket is changelog-silent, like
+    # compaction (carried rows produce no change row)
+    assert tbl.changes(s_before).count() == 0
+
+    # point lookup and merge pick the new layout up atomically
+    assert [r.text for r in tbl.lookup("u42").collect()] == ["t42"]
+    lin = tbl.merge(ev(spark, [(999, "U", "u42", T(999), "new")]), "b2")
+    assert lin["buckets_total"] == 8 and lin["buckets_rewritten"] == 1
+    assert [r.text for r in tbl.lookup("u42").collect()] == ["new"]
+
+    # exactly-once batch fences survive the rewrite
+    assert tbl.merge(ev(spark, [(1, "I", "u1", T(1), "t1")]), "b1") == {}
+
+    # integrity audit passes under the new layout (bucket assignment
+    # is re-checked against the NEW n_buckets)
+    assert tbl.validate(full=True)["ok"]
+
+    # no-op path
+    assert tbl.rebucket(8)["files_before"] == tbl.rebucket(8)["files_after"]
