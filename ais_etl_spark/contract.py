@@ -2331,8 +2331,54 @@ def _diag_cdc_incremental_agg(spark, sf_dir):
     return mv.read()
 
 
+def _diag_cdc_sync_hop(spark, sf_dir):
+    """MULTI-HOP INCREMENTAL SYNC twin (outside the 50-entry driver
+    budget): merge the CDC feed into a bronze table in two halves and
+    ``sync_incremental`` bronze→silver (column projection + predicate
+    eviction on lang) AFTER EACH half. Silver — maintained purely from
+    the bronze changelog, never a full rescan — must equal the
+    from-scratch derived definition ``filter(lang ∈ {en,de,fr},
+    project(LWW winners))`` the oracle replays over the whole feed:
+    covers cross-half update/delete propagation AND eviction (an
+    update moving a url to es/zh tombstones it downstream)."""
+    from ais_etl_spark.lake import sync_incremental
+
+    feed = cdc_feed_from_events(spark, sf_dir)
+    evd = feed.select(
+        "event_id", "op", "url", "warc_ts", "lang",
+        F.when(F.col("op") != "D", F.length("text"))
+        .cast("bigint").alias("n_chars"),
+    )
+    lo, hi = evd.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="ais-etl-sync-contract-")
+    cols = [("url", "string"), ("warc_ts", "timestamp"),
+            ("lang", "string"), ("n_chars", "bigint")]
+    bronze = LakeTable.create(
+        spark, os.path.join(tmp, "bronze"), cols,
+        key="url", order_col="warc_ts", n_buckets=8,
+    )
+    silver = LakeTable.create(
+        spark, os.path.join(tmp, "silver"), cols,
+        key="url", order_col="warc_ts", n_buckets=8,
+    )
+    for i, half in enumerate(
+        (evd.filter(F.col("event_id") <= mid),
+         evd.filter(F.col("event_id") > mid))
+    ):
+        bronze.merge(half, f"hop-{i}")
+        sync_incremental(
+            bronze, silver, name="hop",
+            predicate="lang IN ('en','de','fr')",
+        )
+    return silver.read().select(
+        "url", _ms("warc_ts").alias("warc_ts_ms"), "lang", "n_chars"
+    )
+
+
 DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diag_cdc_incremental_agg": _diag_cdc_incremental_agg,
+    "diag_cdc_sync_hop": _diag_cdc_sync_hop,
     "diag_txt_hash_split": _diag_txt_hash_split,
     "diag_txt_lang_id": _diag_txt_lang_id,
     "diag_txt_quality": _diag_txt_quality,
@@ -2346,6 +2392,11 @@ DIAGNOSTIC_ORACLES: dict[str, str] = {
 SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(length(text)) AS BIGINT) AS sum_n_chars
 FROM win WHERE rn = 1 AND op <> 'D' GROUP BY lang""",
+    "diag_cdc_sync_hop": f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
+SELECT url, epoch_ms(warc_ts) AS warc_ts_ms, lang,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM win
+WHERE rn = 1 AND op <> 'D' AND lang IN ('en','de','fr')""",
     "diag_txt_hash_split": _hash_split_oracle(),
     "diag_txt_lang_id": f"SELECT doc_id, {_LANG_COLS_SQL} FROM documents",
     "diag_txt_quality": f"SELECT doc_id, {_QUALITY_COLS_SQL} FROM documents",

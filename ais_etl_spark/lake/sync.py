@@ -161,11 +161,15 @@ def sync_incremental(
         )
         events = events.unionByName(del_ev, allowMissingColumns=True)
 
-    # deterministic event_id: the fence makes replays no-ops, but a
-    # deterministic id keeps retried writes byte-stable too
-    events = events.withColumn(
-        "event_id", F.xxhash64(F.col(key).cast("string"), F.lit(hi))
-    )
+    # event_id (the LWW seq tiebreak) = the source snapshot id: a
+    # changes() batch has at most ONE row per key, so a constant seq is
+    # unambiguous within a sync, and it is strictly increasing across
+    # syncs — an upstream update whose order value TIES the previously
+    # synced row (same warc_ts, newer upstream event) still wins
+    # downstream. A random/hashed id here would lose such ties
+    # nondeterministically. Deterministic, so retried writes are
+    # byte-stable too.
+    events = events.withColumn("event_id", F.lit(int(hi)).cast("bigint"))
 
     batch_id = f"sync:{name}:{tag}->{hi}"
     lineage = dst.merge(events, batch_id)

@@ -137,6 +137,27 @@ def test_sync_crash_retry_is_exactly_once(spark, tmpdir_path):
     assert _rows(dst) == {"u1": ("en", 11)}
 
 
+def test_sync_order_tie_update_still_wins(spark, tmpdir_path):
+    """An upstream update with the SAME order value as the previously
+    synced row (ts tie, newer upstream event_id) must still win
+    downstream: the sync seq is the source snapshot id, monotone
+    across syncs — a hashed/random seq would lose this tie."""
+    src = _mk(spark, tmpdir_path, "src")
+    dst = _mk(spark, tmpdir_path, "dst")
+    ev = lambda rows: spark.createDataFrame(rows, EV_DDL)  # noqa: E731
+
+    src.merge(ev([(1, "I", "u1", T(1), "en", 10)]), "b1")
+    sync_incremental(src, dst)
+    # same warc_ts, higher event_id: upstream LWW winner flips to n=99
+    src.merge(ev([(2, "U", "u1", T(1), "en", 99)]), "b2")
+    sync_incremental(src, dst)
+    assert _rows(src) == _rows(dst) == {"u1": ("en", 99)}
+    # and a same-ts delete propagates too
+    src.merge(ev([(3, "D", "u1", T(1), None, None)]), "b3")
+    sync_incremental(src, dst)
+    assert _rows(dst) == {}
+
+
 def test_sync_two_hop_chain(spark, tmpdir_path):
     """bronze → silver → gold: each hop is a LakeTable, so the
     changelog-driven sync composes; the leaf equals the composed
