@@ -174,6 +174,7 @@ def run_ingest(
     keep_snapshots: int = 3,
     transform=None,
     table_schema: list[tuple[str, str]] | None = None,
+    on_batch_applied=None,
 ) -> LakeTable:
     """Run the streaming ingest to completion of currently-available
     data (availableNow trigger) and return the table. Call again with
@@ -196,6 +197,14 @@ def run_ingest(
     events exactly (they surface as ``stale_noops`` in lineage), so
     exact replay equality holds with unbounded lateness. Turn it on
     only when the source's true lateness bound is known.
+
+    ``on_batch_applied(table)`` (optional) runs after every applied
+    micro-batch — the streaming multi-hop hook: pass
+    ``lambda t: sync_incremental(t, silver, ...)`` to keep downstream
+    tables in lockstep with the ingest, one changelog delta per batch.
+    The hook MUST be idempotent (sync_incremental is, via its batch-id
+    fence): a crash between merge-commit and hook replays the epoch,
+    the merge no-ops on its fence, and the hook runs again.
 
     Maintenance: with ``maintenance_every=N``, every N applied batches
     the loop compacts small files back to the table's target size and
@@ -234,6 +243,11 @@ def run_ingest(
             bounded_lateness_us=bounded_us,
         )
         applied["n"] += 1
+        # hook BEFORE maintenance: downstream consumers advance their
+        # cursor to the merge snapshot before expire_snapshots can
+        # retire the commits their changelog read would need
+        if on_batch_applied is not None:
+            on_batch_applied(table)
         if maintenance_every and applied["n"] % maintenance_every == 0:
             # targeted: rewrite only buckets that accumulated small
             # per-batch files — a full-table rewrite every N batches

@@ -158,6 +158,58 @@ def test_sync_order_tie_update_still_wins(spark, tmpdir_path):
     assert _rows(dst) == {}
 
 
+def test_streaming_ingest_with_downstream_sync_hook(spark, tmpdir_path):
+    """run_ingest(on_batch_applied=sync) keeps a silver projection in
+    lockstep with the streaming ingest, one changelog delta per
+    micro-batch — and survives kill/resume (the hook replays into the
+    sync fence)."""
+    from ais_etl_spark.feed import synth_cdc_feed
+    from ais_etl_spark.streaming import run_ingest, write_feed_chunks
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    silver = _mk(spark, tmpdir_path, "silver", schema=[
+        ("url", "string"), ("warc_ts", "timestamp"),
+        ("lang", "string"), ("n_chars", "bigint"),
+    ])
+
+    def hook(table):
+        sync_incremental(
+            table, silver, name="hop",
+            transform=lambda df: df.select(
+                "url", "warc_ts", "lang",
+                F.length("text").cast("bigint").alias("n_chars"),
+            ),
+            predicate="lang = 'en'",
+        )
+
+    feed = synth_cdc_feed(spark, n_events=1500, n_urls=200, seed=11).cache()
+    write_feed_chunks(feed.filter("event_id < 900"), feed_dir, 2)
+    bronze = run_ingest(
+        spark, feed_dir, os.path.join(tmpdir_path, "bronze"), ckpt,
+        on_batch_applied=hook,
+    )
+    assert silver.read().count() > 0
+
+    # new segment lands; resume from the same checkpoint
+    feed.filter("event_id >= 900").write.parquet(
+        os.path.join(feed_dir, "chunk-late.parquet"))
+    bronze = run_ingest(
+        spark, feed_dir, os.path.join(tmpdir_path, "bronze"), ckpt,
+        on_batch_applied=hook,
+    )
+    want = (
+        bronze.read()
+        .filter("lang = 'en'")
+        .select("url", "warc_ts", "lang",
+                F.length("text").cast("bigint").alias("n_chars"))
+    )
+    got = silver.read()
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+    feed.unpersist()
+
+
 def test_sync_two_hop_chain(spark, tmpdir_path):
     """bronze → silver → gold: each hop is a LakeTable, so the
     changelog-driven sync composes; the leaf equals the composed
