@@ -376,6 +376,87 @@ def test_merge_replay_equality_and_idempotence_property(spark, batches):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=5),   # key id
+                    st.integers(min_value=0, max_value=30),  # ts offset
+                    st.sampled_from(["I", "U", "D"]),
+                    st.integers(min_value=0, max_value=9),   # payload n
+                ),
+                min_size=1,
+                max_size=10,
+            ),
+            st.booleans(),                                   # sync after?
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_sync_matches_derived_definition_property(spark, batches):
+    """sync_incremental as a hypothesis property: for arbitrary event
+    sequences (ts ties, stale events, deletes, resurrections) and
+    ARBITRARY sync points (bootstrap may span several upstream commits,
+    a sync may cover several batches), the downstream table's live rows
+    equal filter(n >= 5, LWW winners) computed by a pure-Python model —
+    including predicate eviction of rows whose update dropped n below
+    the bar."""
+    import shutil
+    import tempfile
+
+    from ais_etl_spark.lake import LakeTable, sync_incremental
+
+    t0 = dt.datetime(2026, 1, 1)
+    tmp = tempfile.mkdtemp(prefix="prop-sync-")
+    try:
+        cols = [("url", "string"), ("warc_ts", "timestamp"),
+                ("n", "bigint")]
+        src = LakeTable.create(spark, tmp + "/src", cols, key="url",
+                               order_col="warc_ts", n_buckets=4)
+        dst = LakeTable.create(spark, tmp + "/dst", cols, key="url",
+                               order_col="warc_ts", n_buckets=4)
+        eid = 0
+        all_rows = []
+        for bi, (batch, do_sync) in enumerate(batches):
+            rows = []
+            for k, ts, op, n in batch:
+                rows.append(
+                    (eid, op, f"u{k}", t0 + dt.timedelta(seconds=ts),
+                     None if op == "D" else n)
+                )
+                eid += 1
+            all_rows.extend(rows)
+            src.merge(
+                spark.createDataFrame(
+                    rows,
+                    "event_id long, op string, url string, "
+                    "warc_ts timestamp, n long",
+                ),
+                batch_id=f"b{bi}",
+            )
+            if do_sync:
+                sync_incremental(src, dst, predicate="n >= 5")
+        sync_incremental(src, dst, predicate="n >= 5")
+
+        winner = {}
+        for e, op, url, ts, n in all_rows:
+            cur = winner.get(url)
+            if cur is None or (ts, e) > (cur[0], cur[1]):
+                winner[url] = (ts, e, op, n)
+        want = {
+            (url, ts, n)
+            for url, (ts, e, op, n) in winner.items()
+            if op != "D" and n >= 5
+        }
+        got = {(r.url, r.warc_ts, r.n) for r in dst.read().collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=10))
 @settings(max_examples=6, deadline=None)
 def test_fingerprint_matches_python_oracle(spark, texts):
