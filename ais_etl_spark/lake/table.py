@@ -3,8 +3,12 @@
 Iceberg semantics, from scratch, sized for the 10^10-event design point:
 
 - **Snapshots are manifests, not data copies.** A commit is one small
-  JSON file listing per-FILE entries (path, bucket, schema_version,
-  key min/max, has_tombstones). MERGE rewrites ONLY the files whose
+  JSON file of per-FILE entries (path, bucket, schema_version,
+  key min/max, has_tombstones) — stored FULL (complete listing) or as
+  a DELTA against its parent (adds/removes only, chain length capped
+  at ``_MANIFEST_DELTA_CAP``), so commit metadata IO scales with the
+  files a merge touches, not with table age (Iceberg's manifest-list
+  idea collapsed into the commit log). MERGE rewrites ONLY the files whose
   key range can contain a changed key; every other file — including
   sibling files of the same bucket — is carried into the new snapshot
   by reference, the same copy-on-write file-granularity story as
@@ -65,6 +69,11 @@ _QUARANTINE = "_quarantine"
 # internal physical columns present in every data file
 _SEQ = "_seq"        # event_id of the writing event (LWW tiebreak vs future events)
 _DELETED = "_deleted"  # tombstone flag
+
+# longest run of DELTA manifests before a FULL listing is forced: caps
+# the commit-reconstruction walk a fresh reader pays (32 small JSON
+# reads, memoized per process) independent of table age
+_MANIFEST_DELTA_CAP = 32
 
 
 @dataclass
@@ -171,8 +180,80 @@ class LakeTable:
             raise FileNotFoundError(f"no commits under {self.path}")
         if snap not in self._commit_cache:
             with open(self._commit_path(snap)) as f:
-                self._commit_cache[snap] = json.load(f)
+                c = json.load(f)
+            if "files" not in c:
+                # DELTA manifest: reconstruct the full listing from the
+                # parent (recursion memoizes every ancestor, so a chain
+                # of k deltas costs k small reads ONCE per process, not
+                # per access). Entries whose path reappears in
+                # files_added are replacements (e.g. a re-stat), so the
+                # parent version is dropped either way.
+                parent = self.commit(c["parent"])
+                added = c.pop("files_added")
+                drop = set(c.pop("files_removed", []))
+                drop.update(e["path"] for e in added)
+                c["files"] = [
+                    e for e in parent["files"] if e["path"] not in drop
+                ] + added
+            if "batches" not in c and "batches_added" in c:
+                c["batches"] = list(self.commit(c["parent"]).get(
+                    "batches", [])) + c.pop("batches_added")
+            self._commit_cache[snap] = c
         return self._commit_cache[snap]
+
+    def _encode_manifest(self, commit: dict) -> dict:
+        """On-disk manifest form: FULL (complete per-file listing) or
+        DELTA (``files_added`` entries + ``files_removed`` paths vs the
+        parent commit, plus ``manifest_chain`` = deltas since the last
+        full). Iceberg solves the same problem with manifest lists;
+        here the commit log IS the manifest list. Why it matters at the
+        design point: a 100 TB table is ~10^6 data files, so re-listing
+        every file per commit writes ~100 MB of driver-side JSON per
+        merge; a merge touching 1% of files writes a ~10^4-entry delta
+        instead — commit metadata IO scales with the CHANGE, like the
+        data IO already does. A delta is only chosen when it is
+        strictly smaller than the full listing and the chain is shorter
+        than ``_MANIFEST_DELTA_CAP`` (bounds the reconstruction walk);
+        whole-table rewrites (rebucket/compact-all) fail the size test
+        and naturally re-anchor the chain with a full manifest."""
+        # expired_parent marks a re-rooted checkpoint commit only; a
+        # child built by spreading its parent dict must not inherit it
+        base = {
+            k: v for k, v in commit.items()
+            if k not in ("files", "files_added", "files_removed",
+                         "manifest_chain", "expired_parent")
+        }
+        files = commit["files"]
+        pid = commit.get("parent")
+        if pid is not None and files:
+            try:
+                parent = self.commit(pid)
+            except FileNotFoundError:
+                parent = None
+            if parent is not None and int(parent.get("manifest_chain", 0)) < _MANIFEST_DELTA_CAP:
+                pmap = {e["path"]: e for e in parent["files"]}
+                new_paths = {e["path"] for e in files}
+                added = [e for e in files if pmap.get(e["path"]) != e]
+                removed = [p for p in pmap if p not in new_paths]
+                if len(added) + len(removed) < len(files):
+                    enc = {
+                        **base,
+                        "manifest_chain": int(parent.get("manifest_chain", 0)) + 1,
+                        "files_added": added,
+                        "files_removed": removed,
+                    }
+                    # the batch-fence list is append-only (10^6 batches
+                    # at the design point — it would dominate every
+                    # delta commit); store only the appended suffix.
+                    # Rollback TRUNCATES the list, failing the prefix
+                    # test, so it keeps the exact full form.
+                    batches = commit.get("batches", [])
+                    pb = parent.get("batches", [])
+                    if len(batches) >= len(pb) and batches[:len(pb)] == pb:
+                        enc.pop("batches", None)
+                        enc["batches_added"] = batches[len(pb):]
+                    return enc
+        return {**base, "manifest_chain": 0, "files": files}
 
     def _write_commit(self, commit: dict) -> None:
         """Atomic publish: tmp file + rename. os.rename fails if we ever
@@ -188,12 +269,19 @@ class LakeTable:
         import time
 
         commit.setdefault("committed_at", time.time())
+        enc = self._encode_manifest(commit)
         tmp = os.path.join(self.path, _COMMITS, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            json.dump(commit, f)
+            json.dump(enc, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, final)
+        # cache the FULL form; carry the chain length so the next
+        # commit's encoder sees it without a disk round-trip
+        commit["manifest_chain"] = enc["manifest_chain"]
+        commit.pop("files_added", None)
+        commit.pop("files_removed", None)
+        commit.pop("expired_parent", None)
         self._commit_cache[commit["snapshot_id"]] = commit
 
     def committed_batch_ids(self) -> set[str]:
@@ -1142,6 +1230,31 @@ class LakeTable:
     # marks, /root/reference/transformers/tar2tf/src/cached.go:88-120)
     # ------------------------------------------------------------------
 
+    def _materialize_manifest(self, snap: int) -> None:
+        """Rewrite ``snap``'s commit JSON as a self-contained FULL
+        manifest rooted at itself (``parent`` = None; the expired
+        ancestry is kept as ``expired_parent`` for provenance). Content
+        is semantically identical — same snapshot id, file set, fences,
+        schema state — so the atomic in-place replace is a metadata
+        checkpoint, not a history rewrite."""
+        c = self.commit(snap)  # reconstructs through ancestors if delta
+        if c.get("parent") is None and int(c.get("manifest_chain", 0)) == 0:
+            return
+        full = {
+            k: v for k, v in c.items()
+            if k not in ("files_added", "files_removed", "manifest_chain")
+        }
+        full["expired_parent"] = full.get("parent")
+        full["parent"] = None
+        full["manifest_chain"] = 0
+        tmp = os.path.join(self.path, _COMMITS, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(full, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._commit_path(snap))
+        self._commit_cache[snap] = full
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and delete
         data directories no retained snapshot references. Time travel
@@ -1158,6 +1271,12 @@ class LakeTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+        if drop:
+            # re-root the oldest retained commit as a FULL manifest
+            # BEFORE its ancestors disappear: delta reconstruction and
+            # validate()'s chain walk both stop at the new root instead
+            # of dangling into expired history
+            self._materialize_manifest(keep[0])
         referenced: set[str] = set()
         for s in keep:
             for f in self.commit(s)["files"]:

@@ -691,3 +691,97 @@ def test_rebucket_layout_evolution(spark, tmpdir_path):
 
     # no-op path
     assert tbl.rebucket(8)["files_before"] == tbl.rebucket(8)["files_after"]
+
+
+# ---------------------------------------------------------------------------
+# delta manifests (Iceberg's manifest-list analog: commit metadata IO
+# scales with the change, not the table)
+# ---------------------------------------------------------------------------
+
+def _raw_commit(t, snap):
+    import json
+
+    with open(t._commit_path(snap)) as f:
+        return json.load(f)
+
+
+def test_delta_manifest_encoding_and_reconstruction(spark, tmpdir_path):
+    """Small merges persist as DELTA manifests (adds/removes vs parent,
+    no full listing); a whole-table rewrite re-anchors with a FULL one;
+    a fresh reader reconstructs every snapshot identically."""
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=8)
+    tbl.merge(ev(spark, [(i, "I", f"u{i}", T(i), f"t{i}") for i in range(200)]), "b1")
+    tbl.merge(ev(spark, [(999, "U", "u7", T(999), "n7")]), "b2")
+    tbl.alter_add_column("lang", "string")
+    snap_sc = tbl.current_snapshot_id()
+
+    raw1 = _raw_commit(tbl, 1)   # first merge: everything is new → FULL
+    assert "files" in raw1 and raw1["manifest_chain"] == 0
+    raw2 = _raw_commit(tbl, 2)   # point update: one-bucket delta
+    assert "files" not in raw2 and raw2["manifest_chain"] == 1
+    assert 0 < len(raw2["files_added"]) < len(tbl.commit(2)["files"])
+    assert set(raw2["files_removed"]) <= {f["path"] for f in tbl.commit(1)["files"]}
+    # the append-only batch-fence list is suffix-encoded in deltas
+    assert "batches" not in raw2 and raw2["batches_added"] == ["b2"]
+    assert tbl.commit(2)["batches"] == ["b1", "b2"]
+    raw_sc = _raw_commit(tbl, snap_sc)  # metadata-only DDL: empty delta
+    assert "files" not in raw_sc
+    assert raw_sc["files_added"] == [] and raw_sc["files_removed"] == []
+
+    # whole-table rewrite fails the strictly-smaller test → FULL again
+    tbl.rebucket(4)
+    raw_rb = _raw_commit(tbl, tbl.current_snapshot_id())
+    assert "files" in raw_rb and raw_rb["manifest_chain"] == 0
+
+    # a fresh reader (empty commit cache) reconstructs every snapshot
+    t2 = LakeTable.load(spark, tmpdir_path)
+    for s in range(tbl.current_snapshot_id() + 1):
+        want = sorted(tbl.commit(s)["files"], key=lambda f: f["path"])
+        got = sorted(t2.commit(s)["files"], key=lambda f: f["path"])
+        assert got == want, f"snapshot {s} reconstruction differs"
+    assert {(r.url, r.text) for r in t2.read().collect()} == \
+           {(r.url, r.text) for r in tbl.read().collect()}
+    assert t2.validate(full=True)["ok"]
+
+
+def test_delta_manifest_chain_cap_forces_full(spark, tmpdir_path, monkeypatch):
+    import ais_etl_spark.lake.table as table_mod
+
+    monkeypatch.setattr(table_mod, "_MANIFEST_DELTA_CAP", 2)
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=4)
+    tbl.merge(ev(spark, [(i, "I", f"u{i}", T(i), "x") for i in range(50)]), "b0")
+    for i in range(1, 4):
+        tbl.merge(ev(spark, [(100 + i, "U", "u7", T(100 + i), f"v{i}")]), f"b{i}")
+    # v1 full(chain 0) → v2 delta(1) → v3 delta(2) → v4 hits the cap: FULL
+    assert _raw_commit(tbl, 2)["manifest_chain"] == 1
+    assert _raw_commit(tbl, 3)["manifest_chain"] == 2
+    raw4 = _raw_commit(tbl, 4)
+    assert "files" in raw4 and raw4["manifest_chain"] == 0
+    t2 = LakeTable.load(spark, tmpdir_path)
+    assert [r.text for r in t2.lookup("u7").select("text").collect()] == ["v3"]
+
+
+def test_expire_reroots_oldest_kept_manifest(spark, tmpdir_path):
+    """Expiry must not leave retained DELTA commits dangling into
+    deleted history: the oldest kept commit is checkpointed to a FULL
+    self-rooted manifest, so fresh loads, time travel within the kept
+    window, changes(), and validate()'s chain walk all still work."""
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=4)
+    tbl.merge(ev(spark, [(i, "I", f"u{i}", T(i), "x") for i in range(50)]), "b1")
+    tbl.merge(ev(spark, [(100, "U", "u3", T(100), "y")]), "b2")
+    tbl.merge(ev(spark, [(101, "D", "u4", T(101), None)]), "b3")
+    assert "files" not in _raw_commit(tbl, 2)  # delta before expiry
+    tbl.expire_snapshots(keep_last=2)
+
+    raw2 = _raw_commit(tbl, 2)
+    assert "files" in raw2 and raw2["parent"] is None
+    assert raw2["expired_parent"] == 1 and raw2["manifest_chain"] == 0
+
+    t2 = LakeTable.load(spark, tmpdir_path)
+    assert t2.validate(full=True)["ok"]
+    assert {r.url for r in t2.read(snapshot_id=2).collect()} == {f"u{i}" for i in range(50)}
+    assert {r.url for r in t2.read().collect()} == {f"u{i}" for i in range(50)} - {"u4"}
+    ch = {(r.url, r.change_type) for r in t2.changes(2, 3).collect()}
+    assert ch == {("u4", "delete")}
+    with pytest.raises(FileNotFoundError):
+        t2.commit(1)
