@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ais_etl_spark.operators.lww import lww_latest
 
 _COMMITS = "_commits"
+_LATEST = "LATEST"  # head-pointer hint file inside _commits/
 _DATA = "data"
 _LINEAGE = "_lineage"
 _QUARANTINE = "_quarantine"
@@ -165,7 +166,27 @@ class LakeTable:
         return os.path.join(self.path, _COMMITS, f"v{snap:012d}.json")
 
     def current_snapshot_id(self) -> int | None:
+        """Newest committed snapshot id. Served from the ``LATEST``
+        pointer file (one small read + one failed stat) rather than a
+        directory listing: ``commit()`` runs on every merge/read, and a
+        listdir is O(retained commits) — quadratic driver cost across a
+        10^6-batch streaming run. LATEST is a HINT, not truth (Delta's
+        ``_last_checkpoint`` pattern): it is updated AFTER the commit
+        rename, so a crash between the two leaves it lagging — readers
+        probe forward over the contiguous id sequence to the exact
+        head. Missing/garbage hint (pre-hint table, manual surgery)
+        falls back to the full listing."""
         d = os.path.join(self.path, _COMMITS)
+        snap = None
+        try:
+            with open(os.path.join(d, _LATEST)) as f:
+                snap = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
+        if snap is not None and os.path.exists(self._commit_path(snap)):
+            while os.path.exists(self._commit_path(snap + 1)):
+                snap += 1
+            return snap
         if not os.path.isdir(d):
             return None
         snaps = [
@@ -276,6 +297,12 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, final)
+        # head-pointer hint (no fsync: staleness is healed by the
+        # reader's forward probe, torn content by the int() fallback)
+        lt = os.path.join(self.path, _COMMITS, f".tmp-latest-{uuid.uuid4().hex}")
+        with open(lt, "w") as f:
+            f.write(str(commit["snapshot_id"]))
+        os.replace(lt, os.path.join(self.path, _COMMITS, _LATEST))
         # cache the FULL form; carry the chain length so the next
         # commit's encoder sees it without a disk round-trip
         commit["manifest_chain"] = enc["manifest_chain"]

@@ -785,3 +785,28 @@ def test_expire_reroots_oldest_kept_manifest(spark, tmpdir_path):
     assert ch == {("u4", "delete")}
     with pytest.raises(FileNotFoundError):
         t2.commit(1)
+
+
+def test_latest_pointer_hint(spark, tmpdir_path):
+    """current_snapshot_id() is served by the LATEST hint file, but the
+    hint is never trusted blindly: a lagging hint (crash between commit
+    rename and hint update) probes forward, and a missing or garbage
+    hint falls back to the directory listing."""
+    import os
+
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=4)
+    tbl.merge(ev(spark, [(1, "I", "u1", T(1), "a")]), "b1")
+    tbl.merge(ev(spark, [(2, "U", "u1", T(2), "b")]), "b2")
+    lpath = os.path.join(tmpdir_path, "_commits", "LATEST")
+    assert open(lpath).read() == "2"
+
+    with open(lpath, "w") as f:  # stale hint: crash before hint update
+        f.write("0")
+    assert LakeTable.load(spark, tmpdir_path).current_snapshot_id() == 2
+    with open(lpath, "w") as f:  # torn/garbage hint
+        f.write("not-a-number")
+    assert LakeTable.load(spark, tmpdir_path).current_snapshot_id() == 2
+    os.remove(lpath)             # pre-hint table layout
+    t2 = LakeTable.load(spark, tmpdir_path)
+    assert t2.current_snapshot_id() == 2
+    assert [r.text for r in t2.read().collect()] == ["b"]
