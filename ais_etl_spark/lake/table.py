@@ -76,6 +76,13 @@ _DELETED = "_deleted"  # tombstone flag
 # reads, memoized per process) independent of table age
 _MANIFEST_DELTA_CAP = 32
 
+# newest commits kept in the per-instance cache; a long-running writer
+# commits once per micro-batch, and every cached commit holds a full
+# file listing — unbounded, that is a driver memory leak across a
+# 10^6-batch stream. Evicted commits re-read from disk (≤ chain-cap
+# small JSONs) — correctness is unaffected.
+_COMMIT_CACHE_CAP = 128
+
 
 @dataclass
 class Column:
@@ -219,8 +226,21 @@ class LakeTable:
             if "batches" not in c and "batches_added" in c:
                 c["batches"] = list(self.commit(c["parent"]).get(
                     "batches", [])) + c.pop("batches_added")
-            self._commit_cache[snap] = c
+            self._cache_put(snap, c)
         return self._commit_cache[snap]
+
+    def _cache_put(self, snap: int, c: dict) -> None:
+        """Insert into the bounded commit cache, evicting the
+        oldest-inserted entries past ``_COMMIT_CACHE_CAP`` (dicts are
+        insertion-ordered; the single-writer loop inserts newest last,
+        so eviction drops the stalest snapshots first)."""
+        cache = self._commit_cache
+        cache[snap] = c
+        while len(cache) > _COMMIT_CACHE_CAP:
+            oldest = next(iter(cache))
+            if oldest == snap:
+                break
+            del cache[oldest]
 
     def _encode_manifest(self, commit: dict) -> dict:
         """On-disk manifest form: FULL (complete per-file listing) or
@@ -309,7 +329,7 @@ class LakeTable:
         commit.pop("files_added", None)
         commit.pop("files_removed", None)
         commit.pop("expired_parent", None)
-        self._commit_cache[commit["snapshot_id"]] = commit
+        self._cache_put(commit["snapshot_id"], commit)
 
     def committed_batch_ids(self) -> set[str]:
         c = self.commit()
@@ -1280,7 +1300,7 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._commit_path(snap))
-        self._commit_cache[snap] = full
+        self._cache_put(snap, full)
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and delete

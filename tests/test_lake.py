@@ -810,3 +810,21 @@ def test_latest_pointer_hint(spark, tmpdir_path):
     t2 = LakeTable.load(spark, tmpdir_path)
     assert t2.current_snapshot_id() == 2
     assert [r.text for r in t2.read().collect()] == ["b"]
+
+
+def test_commit_cache_bounded(spark, tmpdir_path, monkeypatch):
+    """A long-running writer must not leak driver memory through the
+    commit cache: entries past the cap are evicted and transparently
+    re-read (and delta-reconstructed) from disk on demand."""
+    import ais_etl_spark.lake.table as table_mod
+
+    monkeypatch.setattr(table_mod, "_COMMIT_CACHE_CAP", 3)
+    tbl = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=4)
+    for b in range(6):
+        tbl.merge(ev(spark, [(b + 1, "I" if b == 0 else "U",
+                              "u1", T(b + 1), f"v{b}")]), f"b{b}")
+    assert len(tbl._commit_cache) <= 3
+    # evicted snapshots still readable (time travel re-reads the chain)
+    assert [r.text for r in tbl.read(snapshot_id=2).collect()] == ["v1"]
+    assert [r.text for r in tbl.read().collect()] == ["v5"]
+    assert tbl.committed_batch_ids() == {f"b{b}" for b in range(6)}
