@@ -70,6 +70,10 @@ _QUARANTINE = "_quarantine"
 # internal physical columns present in every data file
 _SEQ = "_seq"        # event_id of the writing event (LWW tiebreak vs future events)
 _DELETED = "_deleted"  # tombstone flag
+# read-time-only column (never persisted): the manifest seq of the file a
+# row came from — the LWW tiebreak between a delta file and a later copy
+# of the same logical row (merge-on-read resolution)
+_FILESEQ = "_fileseq"
 
 # longest run of DELTA manifests before a FULL listing is forced: caps
 # the commit-reconstruction walk a fresh reader pays (32 small JSON
@@ -494,7 +498,7 @@ class LakeTable:
         Iceberg)."""
         c = self.commit(snapshot_id)
         files = self._select_files(c, buckets, order_min, order_max)
-        out = self._entries_df(c, files)
+        out = self._resolved_entries_df(c, files)
         if not include_internal:
             out = out.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
         return out
@@ -537,19 +541,27 @@ class LakeTable:
             files = kept
         return files
 
-    def _entries_df(self, c: dict, files: list[dict]) -> DataFrame:
+    def _entries_df(
+        self, c: dict, files: list[dict], with_fileseq: bool = False
+    ) -> DataFrame:
         """Scan a specific set of manifest entries (schema-version
         mapped, internal columns included) — the file-granularity
-        read primitive shared by read() and merge()."""
+        read primitive shared by read() and merge().
+
+        ``with_fileseq`` adds the manifest ``seq`` of each file as a
+        literal ``_fileseq`` column (one scan group per distinct
+        (schema_version, seq) — seq count is bounded by commits since
+        the bucket's last compaction), for merge-on-read resolution."""
         cur_cols = self.schema_cols(c)
         internal = [(_SEQ, "bigint"), (_DELETED, "boolean")]
         parts: list[DataFrame] = []
-        by_ver: dict[int, list[str]] = {}
+        by_grp: dict[tuple, list[str]] = {}
         for f in files:
-            by_ver.setdefault(f["schema_version"], []).append(
+            grp = (f["schema_version"], int(f.get("seq", 0)) if with_fileseq else 0)
+            by_grp.setdefault(grp, []).append(
                 os.path.join(self.path, f["path"])
             )
-        for ver, paths in by_ver.items():
+        for (ver, seq), paths in by_grp.items():
             old_cols = {col["id"]: col for col in c["schemas"][ver]}
             df = self.spark.read.parquet(*paths)
             sel = []
@@ -565,17 +577,79 @@ class LakeTable:
                 else:
                     sel.append(F.lit(None).cast(col["type"]).alias(col["name"]))
             sel += [F.col(n).cast(t).alias(n) for n, t in internal]
+            if with_fileseq:
+                sel.append(F.lit(seq).cast("bigint").alias(_FILESEQ))
             parts.append(df.select(*sel))
 
         if not parts:
             ddl = self.spark_schema_ddl() + ", " + ", ".join(
                 f"{n} {t}" for n, t in internal
             )
+            if with_fileseq:
+                ddl += f", {_FILESEQ} bigint"
             return self.spark.createDataFrame([], ddl)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # ------------------------------------------------------------------
+    # merge-on-read resolution
+    # ------------------------------------------------------------------
+
+    def _delta_buckets(self, files: list[dict]) -> set[int]:
+        return {f["bucket"] for f in files if f.get("kind") == "delta"}
+
+    def _resolve_lww(
+        self, c: dict, files: list[dict], key_value=None
+    ) -> DataFrame:
+        """Per-key LWW over a file set that may hold several versions
+        of a key (base + delta files): winner = max struct over
+        (order_col, _seq, _fileseq) — exactly the merge's resolution
+        rule, with the file's manifest seq breaking exact (order, seq)
+        ties toward the later-committed copy. Output column set equals
+        ``_entries_df``'s (internal columns included). The shuffle is
+        bounded by the DIRTY rows handed in, not the table."""
+        key = c["key"]
+        order_col = c["order_col"]
+        payload = [
+            x["name"] for x in self.schema_cols(c)
+            if x["name"] not in (key, order_col)
+        ]
+        df = self._entries_df(c, files, with_fileseq=True)
+        if key_value is not None:
+            # point lookup: the predicate sits BELOW the groupBy, so it
+            # pushes down to the parquet scan's row-group stats
+            df = df.filter(F.col(key) == key_value)
+        w = F.max(
+            F.struct(
+                F.col(order_col), F.col(_SEQ), F.col(_FILESEQ),
+                F.col(_DELETED), *[F.col(p) for p in payload],
+            )
+        ).alias("w")
+        return df.groupBy(key).agg(w).select(
+            F.col(key),
+            F.col(f"w.{order_col}").alias(order_col),
+            *[F.col(f"w.{p}").alias(p) for p in payload],
+            F.col(f"w.{_SEQ}").alias(_SEQ),
+            F.col(f"w.{_DELETED}").alias(_DELETED),
+        )
+
+    def _resolved_entries_df(self, c: dict, files: list[dict]) -> DataFrame:
+        """``_entries_df`` + merge-on-read resolution: buckets with no
+        delta file stream through untouched (zero extra shuffle — the
+        CoW fast path and every pre-MoR table plan are unchanged);
+        buckets holding deltas are LWW-resolved per key."""
+        dirty = self._delta_buckets(files)
+        if not dirty:
+            return self._entries_df(c, files)
+        clean = [f for f in files if f["bucket"] not in dirty]
+        resolved = self._resolve_lww(
+            c, [f for f in files if f["bucket"] in dirty]
+        )
+        if not clean:
+            return resolved
+        return self._entries_df(c, clean).unionByName(resolved)
 
     def rollback(self, snapshot_id: int) -> int:
         """Iceberg-style rollback: a NEW commit whose file set, schema
@@ -681,9 +755,18 @@ class LakeTable:
                 or f["min_key"] <= key_value <= f["max_key"]
             )
         ]
+        # a delta file among the hits means the key may exist in
+        # several versions (merge-on-read) — the winner must be
+        # resolved, and only THEN may a tombstone suppress the row
+        # (filtering tombstones per file would resurrect a stale base
+        # row a newer delta tombstone killed)
+        resolve = any(f.get("kind") == "delta" for f in hits)
         if len(hits) <= self.LOOKUP_DRIVER_MAX_FILES:
-            return self._lookup_driver_side(c, hits, key_value)
-        out = self._entries_df(c, hits).filter(F.col(c["key"]) == key_value)
+            return self._lookup_driver_side(c, hits, key_value, resolve)
+        if resolve:
+            out = self._resolve_lww(c, hits, key_value=key_value)
+        else:
+            out = self._entries_df(c, hits).filter(F.col(c["key"]) == key_value)
         return out.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
 
     # point reads touch 1-2 small bucket files after pruning; a Spark
@@ -692,29 +775,37 @@ class LakeTable:
     # milliseconds. Above this file count, fall back to the scan.
     LOOKUP_DRIVER_MAX_FILES = 16
 
-    def _lookup_driver_side(self, c: dict, hits: list[dict], key_value):
+    def _lookup_driver_side(
+        self, c: dict, hits: list[dict], key_value, resolve: bool = False
+    ):
         """Serve the point read without a Spark job: pyarrow-read the
         (manifest-pruned, ≤LOOKUP_DRIVER_MAX_FILES) covering files on
         the driver with the key predicate pushed to row-group stats,
         apply the same schema-version column-id mapping as
         _entries_df, and return the rows as a literal DataFrame.
         Same output as the scan path (hash-checked by the
-        cdc_point_lookup gate); only the physical strategy differs."""
+        cdc_point_lookup gate); only the physical strategy differs.
+
+        ``resolve`` (merge-on-read): tombstones are read rather than
+        filtered, and the single winner is picked driver-side by max
+        (order_col, _seq, file seq) — the same rule as
+        ``_resolve_lww`` — then dropped if it is a tombstone."""
         import pandas as pd
         import pyarrow.parquet as pq
 
         cur_cols = self.schema_cols(c)
         key_id = next(x["id"] for x in cur_cols if x["name"] == c["key"])
-        frames: list[pd.DataFrame] = []
+        order_name = c["order_col"]
+        frames: list[tuple[pd.DataFrame, int]] = []
         for f in hits:
             old_cols = {x["id"]: x for x in c["schemas"][f["schema_version"]]}
             if key_id not in old_cols:
                 continue  # file predates the key column: cannot match
             phys_key = old_cols[key_id]["name"]
-            t = pq.read_table(
-                os.path.join(self.path, f["path"]),
-                filters=[(phys_key, "==", key_value), (_DELETED, "==", False)],
-            )
+            flt = [(phys_key, "==", key_value)]
+            if not resolve:
+                flt.append((_DELETED, "==", False))
+            t = pq.read_table(os.path.join(self.path, f["path"]), filters=flt)
             if t.num_rows == 0:
                 continue
             pdf = t.to_pandas()
@@ -726,12 +817,28 @@ class LakeTable:
                     out[col["name"]] = pd.Series(
                         [None] * len(pdf), dtype="object"
                     )
-            frames.append(pd.DataFrame(out))
+            if resolve:
+                out[_SEQ] = pdf[_SEQ]
+                out[_DELETED] = pdf[_DELETED]
+            frames.append((pd.DataFrame(out), int(f.get("seq", 0))))
         ddl = self.spark_schema_ddl()
         if not frames:
             return self.spark.createDataFrame([], ddl)
+        if resolve:
+            rows = []
+            for pdf, fileseq in frames:
+                for _, r in pdf.iterrows():
+                    rows.append((r[order_name], int(r[_SEQ]), fileseq, r))
+            rows.sort(key=lambda x: (x[0], x[1], x[2]))
+            winner = rows[-1][3]
+            if bool(winner[_DELETED]):
+                return self.spark.createDataFrame([], ddl)
+            one = winner.drop(labels=[_SEQ, _DELETED]).to_frame().T
+            return self.spark.createDataFrame(
+                one.reset_index(drop=True), schema=ddl
+            )
         return self.spark.createDataFrame(
-            pd.concat(frames, ignore_index=True), schema=ddl
+            pd.concat([p for p, _ in frames], ignore_index=True), schema=ddl
         )
 
     # ------------------------------------------------------------------
@@ -748,6 +855,7 @@ class LakeTable:
         post_dedup_transform=None,
         exact_probe_files: int = 64,
         bounded_lateness_us: int | None = None,
+        mode: str = "cow",
     ) -> dict:
         """Apply a batch of CDC events (op/url/warc_ts/event_id +
         payload columns ⊆ schema) with LWW + tombstones. Idempotent on
@@ -775,11 +883,31 @@ class LakeTable:
         exact unbounded-lateness contract (stale events surface as
         ``stale_noops``).
 
-        Physical plan: dedup batch (map-side combine absorbs hot-key
-        skew) → persist winners → transform winners → bucket →
+        ``mode``: ``"cow"`` (default) rewrites the hit files so every
+        snapshot holds exactly one physical row per key — reads stay
+        plain unions. ``"mor"`` (merge-on-read) writes the batch
+        winners as DELTA files for the touched buckets WITHOUT reading
+        or rewriting any base file — write cost scales with the batch,
+        not with base-file sizes (an update-heavy feed against large
+        base files stops paying base-file rewrite amplification) — and
+        readers LWW-resolve base+delta per key (``_resolve_lww``) until
+        ``compact()`` / ``compact_deltas()`` folds the deltas back into
+        base files. The two modes commute freely batch-to-batch and
+        produce identical logical table state (parity-tested). MoR
+        lineage reports ``upserts``/``tombstones`` instead of the
+        insert/update/stale split (computing that split requires the
+        base-row read MoR exists to avoid; the fields are NULL in the
+        lineage table for MoR commits).
+
+        Physical plan (cow): dedup batch (map-side combine absorbs
+        hot-key skew) → persist winners → transform winners → bucket →
         manifest-prune current snapshot to affected buckets → per-key
         struct-max against current rows → rewrite only those buckets.
+        Physical plan (mor): dedup batch → transform winners → write
+        winners as per-bucket delta files — one shuffle, zero base IO.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         c = self.commit()
         if batch_id in c.get("batches", []):
             return {}  # exactly-once replay: already applied
@@ -825,7 +953,13 @@ class LakeTable:
                 & (order_us < F.lit(cutoff_us))
             )
         touched, offsets, hit_paths, malformed, n_late, batch_hwm_us = (
-            self._batch_stats(events, key, c, bad, exact_probe_files, late)
+            self._batch_stats(
+                events, key, c, bad,
+                # mor never reads base files, so the exact-probe Spark
+                # job that refines the hit set is pure waste — disable
+                (1 << 30) if mode == "mor" else exact_probe_files,
+                late,
+            )
         )
         hwm_us = max(
             (v for v in (prev_hwm, batch_hwm_us) if v is not None),
@@ -854,7 +988,7 @@ class LakeTable:
         )
         return self._merge_winners(
             c, winners, batch_id, touched, hit_paths, post_dedup_transform,
-            offsets, malformed, n_late, hwm_us,
+            offsets, malformed, n_late, hwm_us, mode=mode,
         )
 
     def _batch_stats(self, events: DataFrame, key: str, c: dict, bad,
@@ -1034,7 +1168,7 @@ class LakeTable:
     def _merge_winners(
         self, c, winners, batch_id, touched, hit_paths, post_dedup_transform,
         offsets, malformed: int = 0, n_late: int = 0,
-        hwm_us: int | None = None,
+        hwm_us: int | None = None, mode: str = "cow",
     ) -> dict:
         key = c["key"]
         order_col = c["order_col"]
@@ -1062,6 +1196,12 @@ class LakeTable:
             *[F.col(p).cast(ptypes[p]).alias(p) for p in payload_names],
             F.lit(True).alias("_new"),
         ).withColumn("_bucket", self._bucket_expr(F.col(key)))
+
+        if mode == "mor":
+            return self._commit_mor_deltas(
+                c, incoming, batch_id, touched, offsets, malformed,
+                n_late, hwm_us,
+            )
 
         # 3. current rows in HIT FILES only (file-granularity CoW:
         #    a bucket file whose key range cannot contain an incoming
@@ -1129,7 +1269,17 @@ class LakeTable:
             observed.select(*ordered, _SEQ, _DELETED, "_bucket"),
             c, rel_dir, n_parts=max(len(touched), 1),
         )
-        counts = obs.get
+        try:
+            counts = obs.get
+        except Exception:
+            # the merged result was empty (e.g. a fully-quarantined
+            # batch on an untouched table): AQE's empty-relation
+            # propagation can eliminate the write subtree, leaving the
+            # Observation unevaluated — and empty output means every
+            # counter is genuinely zero
+            counts = {k: 0 for k in
+                      ("inserts", "updates", "deletes", "stale_noops",
+                       "rows_after")}
 
         carry = [f for f in c["files"] if f["path"] not in hit_paths]
         lineage = {
@@ -1166,12 +1316,88 @@ class LakeTable:
         self._append_lineage(lineage, offsets)
         return lineage
 
+    def _commit_mor_deltas(
+        self, c, incoming, batch_id, touched, offsets, malformed, n_late,
+        hwm_us,
+    ) -> dict:
+        """Merge-on-read commit: append the batch winners (tombstones
+        included) as per-bucket DELTA files — no base file is read or
+        rewritten, so write IO scales with the batch alone. Readers
+        resolve base+delta per key (``_resolve_lww``); ``compact()``
+        folds deltas back into base files. The insert/update/stale
+        split is unknowable without the base read (that read is what
+        this mode avoids), so lineage carries ``upserts``/``tombstones``
+        and NULLs for the CoW-only counters."""
+        from pyspark.sql import Observation
+
+        snap_id = c["snapshot_id"] + 1
+        cur_cols = self.schema_cols(c)
+        ordered = [col["name"] for col in cur_cols]
+
+        obs = Observation(f"merge-mor-{batch_id}")
+        observed = incoming.observe(
+            obs,
+            F.sum((~F.col(_DELETED)).cast("long")).alias("upserts"),
+            F.sum(F.col(_DELETED).cast("long")).alias("tombstones"),
+        )
+        new_files = self._write_data(
+            observed.select(*ordered, _SEQ, _DELETED, "_bucket"),
+            c, f"{_DATA}/snap{snap_id:012d}",
+            n_parts=max(len(touched), 1), kind="delta", seq=snap_id,
+        )
+        try:
+            counts = obs.get
+        except Exception:
+            # empty winner set (fully-quarantined batch): AQE may have
+            # eliminated the write subtree; zero is then exact
+            counts = {}
+        lineage = {
+            "batch_id": batch_id,
+            "snapshot_id": snap_id,
+            "mode": "mor",
+            "buckets_rewritten": 0,
+            "buckets_total": c["n_buckets"],
+            "files_rewritten": 0,
+            "files_written": len(new_files),
+            "files_carried": len(c["files"]),
+            "source_offsets": offsets,
+            "malformed": int(malformed),
+            "late_events": int(n_late),
+            "upserts": int(counts.get("upserts") or 0),
+            "tombstones": int(counts.get("tombstones") or 0),
+            "inserts": None,
+            "updates": None,
+            "deletes": None,
+            "stale_noops": None,
+        }
+        commit = {
+            "snapshot_id": snap_id,
+            "parent": c["snapshot_id"],
+            "batch_id": batch_id,
+            "operation": "merge-mor",
+            "schema_version": c["schema_version"],
+            "schemas": c["schemas"],
+            "key": c["key"],
+            "order_col": c["order_col"],
+            "n_buckets": c["n_buckets"],
+            "max_file_rows": c.get("max_file_rows", 1 << 20),
+            "files": list(c["files"]) + new_files,
+            "batches": list(c.get("batches", [])) + [batch_id],
+            "lineage": lineage,
+            "hwm_us": hwm_us if hwm_us is not None else c.get("hwm_us"),
+            "applied_fences": c.get("applied_fences", []),
+        }
+        self._write_commit(commit)
+        self._append_lineage(lineage, offsets)
+        return lineage
+
     # ------------------------------------------------------------------
     # data-file writer (shared by merge + gc)
     # ------------------------------------------------------------------
 
     def _write_data(
-        self, df: DataFrame, c: dict, rel_dir: str, n_parts: int
+        self, df: DataFrame, c: dict, rel_dir: str, n_parts: int,
+        kind: str = "base", seq: int = 0,
     ) -> list[dict]:
         """Write rows (must carry ``_bucket``) as key-sorted parquet
         files, one directory per bucket, split at ``max_file_rows``;
@@ -1219,6 +1445,10 @@ class LakeTable:
                 "max_order": omax,
                 "n_rows": n_rows,
                 "has_del": has_del,
+                # merge-on-read: delta entries carry kind+seq (the
+                # writing snapshot id — the read-time LWW tiebreak);
+                # base entries stay field-free for manifest size
+                **({"kind": "delta", "seq": int(seq)} if kind == "delta" else {}),
             }
             for (rel_path, bucket, _), (kmin, kmax, has_del, omin, omax, n_rows)
             in zip(work, stats)
@@ -1351,15 +1581,31 @@ class LakeTable:
         contain tombstones are read and rewritten; tombstone-free files
         are carried by reference. Commits a ``gc_tombstones`` snapshot
         (batch ids preserved, so exactly-once replay is unaffected).
-        Returns {files_rewritten, files_carried, rows_dropped}."""
+        Returns {files_rewritten, files_carried, rows_dropped}.
+
+        Merge-on-read interaction: a tombstone in a DELTA file may be
+        the only thing suppressing an older live row in a base file —
+        dropping it file-locally would resurrect that row. Buckets
+        where tombstones and deltas coexist are therefore FOLDED
+        (all their files read, LWW-resolved, rewritten as base) so the
+        expiry applies to resolved winners, never to shadowing rows."""
         c = self.commit()
-        hit = [f for f in c["files"] if f.get("has_del", True)]
-        carry = [f for f in c["files"] if not f.get("has_del", True)]
+        dirty = self._delta_buckets(c["files"])
+        del_buckets = {
+            f["bucket"] for f in c["files"] if f.get("has_del", True)
+        }
+        fold = dirty & del_buckets
+        hit = [
+            f for f in c["files"]
+            if f.get("has_del", True) or f["bucket"] in fold
+        ]
+        hit_paths = {f["path"] for f in hit}
+        carry = [f for f in c["files"] if f["path"] not in hit_paths]
         if not hit:
             return {"files_rewritten": 0, "files_carried": len(carry),
                     "rows_dropped": 0}
         order_col = c["order_col"]
-        cur = self._entries_df(c, hit).withColumn(
+        cur = self._resolved_entries_df(c, hit).withColumn(
             "_bucket", self._bucket_expr(F.col(c["key"]))
         )
         expired = F.col(_DELETED) & (F.col(order_col) <= F.lit(older_than))
@@ -1375,7 +1621,14 @@ class LakeTable:
         new_files = self._write_data(
             kept, c, rel_dir, n_parts=max(len({f['bucket'] for f in hit}), 1)
         )
-        dropped = int(obs.get.get("dropped") or 0)
+        try:
+            dropped = int(obs.get.get("dropped") or 0)
+        except Exception:
+            # zero surviving rows: AQE's empty-relation propagation can
+            # eliminate the write subtree, leaving the Observation
+            # unevaluated — recount the expired winners directly (rare
+            # path, one extra scan of the already-pruned hit set)
+            dropped = cur.filter(expired).count()
         commit = {
             **{k: c[k] for k in ("schema_version", "schemas", "key", "order_col",
                                  "n_buckets", "max_file_rows")},
@@ -1403,8 +1656,12 @@ class LakeTable:
         per_bucket: dict[int, dict] = {}
         unstated = 0
         for f in c["files"]:
-            b = per_bucket.setdefault(f["bucket"], {"files": 0, "rows": 0})
+            b = per_bucket.setdefault(
+                f["bucket"], {"files": 0, "rows": 0, "delta_files": 0}
+            )
             b["files"] += 1
+            if f.get("kind") == "delta":
+                b["delta_files"] += 1
             if f.get("n_rows") is None:
                 unstated += 1
             else:
@@ -1415,6 +1672,7 @@ class LakeTable:
             "snapshot_id": c["snapshot_id"],
             "total_rows": sum(b["rows"] for b in per_bucket.values()),
             "total_files": len(c["files"]),
+            "delta_files": sum(b["delta_files"] for b in per_bucket.values()),
             "files_unstated": unstated,
             "buckets": per_bucket,
         }
@@ -1522,9 +1780,17 @@ class LakeTable:
                     issues.append(f"keys outside manifest range on {p}")
                 if r["bmin"] != f["bucket"] or r["bmax"] != f["bucket"]:
                     issues.append(f"bucket assignment violated on {p}")
+            # the one-live-key-per-snapshot invariant holds only for
+            # CoW buckets; merge-on-read buckets legitimately hold
+            # several versions per key until compaction folds them
+            dirty = self._delta_buckets(c["files"])
+            dup_src = audit.filter(~F.col(_DELETED))
+            if dirty:
+                dup_src = dup_src.filter(
+                    ~F.col("_b").isin([int(b) for b in dirty])
+                )
             dup_live = (
-                audit
-                .filter(~F.col(_DELETED))
+                dup_src
                 .groupBy(key)
                 .count()
                 .filter(F.col("count") > 1)
@@ -1557,20 +1823,45 @@ class LakeTable:
         res["buckets"] = targets
         return res
 
+    def compact_deltas(self, min_deltas_per_bucket: int = 1) -> dict:
+        """Targeted merge-on-read maintenance: fold the buckets holding
+        at least ``min_deltas_per_bucket`` delta files back into
+        one-row-per-key base files (and nothing else). Pure manifest
+        arithmetic to pick targets; the higher the threshold, the more
+        read-time resolution work is tolerated before paying a rewrite
+        — the classic MoR read/write amplification dial."""
+        c = self.commit()
+        per_bucket: dict[int, int] = {}
+        for f in c["files"]:
+            if f.get("kind") == "delta":
+                per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        targets = sorted(
+            b for b, n in per_bucket.items() if n >= min_deltas_per_bucket
+        )
+        if not targets:
+            return {"files_before": len(c["files"]),
+                    "files_after": len(c["files"]), "buckets": []}
+        res = self.compact(buckets=targets)
+        res["buckets"] = targets
+        return res
+
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Small-file compaction (Iceberg's rewrite_data_files): rewrite
         the selected buckets' files into fresh key-sorted files at the
         table's ``max_file_rows`` target, carrying every other file by
         reference. Data, tombstones, and batch ids are unchanged — a
         pure layout operation, needed after many small merges pile up
-        per-batch files. Returns {files_before, files_after}."""
+        per-batch files. Buckets holding merge-on-read DELTA files are
+        LWW-resolved while folding, so the rewritten buckets come out
+        one-row-per-key base files (the MoR → base fold). Returns
+        {files_before, files_after}."""
         c = self.commit()
         bset = set(buckets) if buckets is not None else None
         hit = [f for f in c["files"] if bset is None or f["bucket"] in bset]
         carry = [f for f in c["files"] if not (bset is None or f["bucket"] in bset)]
         if not hit:
             return {"files_before": len(c["files"]), "files_after": len(c["files"])}
-        rows = self._entries_df(c, hit).withColumn(
+        rows = self._resolved_entries_df(c, hit).withColumn(
             "_bucket", self._bucket_expr(F.col(c["key"]))
         )
         snap_id = c["snapshot_id"] + 1
@@ -1619,7 +1910,7 @@ class LakeTable:
         if n_buckets == c["n_buckets"]:
             return {"files_before": len(c["files"]),
                     "files_after": len(c["files"]), "n_buckets": n_buckets}
-        rows = self._entries_df(c, c["files"]).withColumn(
+        rows = self._resolved_entries_df(c, c["files"]).withColumn(
             "_bucket",
             F.pmod(F.xxhash64(F.col(c["key"])), F.lit(n_buckets)).cast("int"),
         )
@@ -1685,7 +1976,38 @@ class LakeTable:
         added = [f for f in ct["files"] if f["path"] not in from_paths]
         cols = [c["name"] for c in self.schema_cols(ct)]
 
-        old_raw = self._entries_df(cf, removed)
+        # merge-on-read commits ADD delta files without REMOVING the
+        # base files they shadow — the pre-image of an updated key
+        # still sits in a carried cf file. Pull the cf files that
+        # could hold current versions of the delta keys (same bucket,
+        # key-range overlap) into the old side, and LWW-resolve BOTH
+        # sides per key so multi-version file sets (deltas, or a
+        # compaction fold crossing the range) diff as logical rows,
+        # not physical ones. For a pure-CoW range both extensions
+        # no-op and the plan is unchanged.
+        added_deltas = [f for f in added if f.get("kind") == "delta"]
+        old_files = list(removed)
+        if added_deltas:
+            removed_paths = {f["path"] for f in removed}
+            spans = [
+                (f["bucket"], f.get("min_key"), f.get("max_key"))
+                for f in added_deltas
+            ]
+            for f in cf["files"]:
+                if f["path"] in removed_paths:
+                    continue
+                for b, mn, mx in spans:
+                    if f["bucket"] != b:
+                        continue
+                    fmin, fmax = f.get("min_key"), f.get("max_key")
+                    if (
+                        mn is None or fmin is None
+                        or not (fmax < mn or mx < fmin)
+                    ):
+                        old_files.append(f)
+                        break
+
+        old_raw = self._resolved_entries_df(cf, old_files)
         old_cols = [F.col(key).alias("_k"),
                     F.struct(F.col(order_col), F.col(_SEQ),
                              F.col(_DELETED)).alias("_ov")]
@@ -1705,7 +2027,7 @@ class LakeTable:
                 )
                 old_cols.append(expr.alias(f"_pre_{col['name']}"))
         old = old_raw.select(*old_cols)
-        new = self._entries_df(ct, added).select(
+        new = self._resolved_entries_df(ct, added).select(
             F.col(key).alias("_k"),
             F.struct(F.col(order_col), F.col(_SEQ), F.col(_DELETED)).alias("_nv"),
             *[F.col(c) for c in cols if c != key],
@@ -1717,10 +2039,16 @@ class LakeTable:
             (F.col(f"_ov.{order_col}") == F.col(f"_nv.{order_col}"))
             & (F.col(f"_ov.{_SEQ}") == F.col(f"_nv.{_SEQ}"))
         )
+        # struct comparison is lexicographic over (order_col, _seq, …):
+        # a merge-on-read delta whose version LOST to the pre-state
+        # (stale event logged as a delta row, discarded at read time)
+        # is not a change
+        stale = F.col("_nv") < F.col("_ov")
         change = (
             F.when(F.col("_ov").isNull() & ~n_del, "insert")
             .when(F.col("_ov").isNull(), F.lit(None))        # new tombstone, unseen key
             .when(same_version, F.lit(None))                  # carried (file split)
+            .when(stale, F.lit(None))                         # stale MoR delta
             .when(o_del & ~n_del, "insert")                   # resurrection
             .when(~o_del & n_del, "delete")
             .when(~o_del & ~n_del, "update")
@@ -1771,6 +2099,10 @@ class LakeTable:
                 "deletes": lineage["deletes"],
                 "stale_noops": lineage["stale_noops"],
                 "malformed": lineage.get("malformed", 0),
+                # merge-on-read counters (NULL on CoW commits, and
+                # vice versa: a MoR commit NULLs the CoW-only split)
+                "upserts": lineage.get("upserts"),
+                "tombstones": lineage.get("tombstones"),
             }
             for o in (offsets or [{"source_part": -1, "min_offset": -1,
                                    "max_offset": -1, "events": 0}])
@@ -1794,6 +2126,8 @@ class LakeTable:
                 ("deletes", pa.int64()),
                 ("stale_noops", pa.int64()),
                 ("malformed", pa.int64()),
+                ("upserts", pa.int64()),
+                ("tombstones", pa.int64()),
             ]
         )
         tbl = pa.Table.from_pylist(rows, schema=schema)
@@ -1809,6 +2143,9 @@ class LakeTable:
                 "batch_id string, snapshot_id bigint, source_part int, "
                 "min_offset bigint, max_offset bigint, events bigint, "
                 "inserts bigint, updates bigint, deletes bigint, "
-                "stale_noops bigint, malformed bigint",
+                "stale_noops bigint, malformed bigint, upserts bigint, "
+                "tombstones bigint",
             )
-        return self.spark.read.parquet(p)
+        # lineage files written before/after the MoR column addition
+        # may differ in columns — merge, null-padded
+        return self.spark.read.option("mergeSchema", "true").parquet(p)

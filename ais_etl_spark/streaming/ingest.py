@@ -90,8 +90,12 @@ def apply_cdc_batch(
     schema_events: list[dict] | None = None,
     transform=None,
     bounded_lateness_us: int | None = None,
+    merge_mode: str = "cow",
 ) -> dict:
     """Shared batch-apply: fence schema evolution, enrich, merge.
+    ``merge_mode='mor'`` appends each sub-batch's winners as
+    merge-on-read delta files instead of rewriting base files (see
+    :meth:`LakeTable.merge`).
     ``transform`` (df → df, row-wise deterministic) is the per-winner
     enrichment stage; default :func:`enrich_events` (html→text/lang),
     pass ``curate_events`` for the full curation profile.
@@ -112,7 +116,7 @@ def apply_cdc_batch(
         # fast path: no DDL fences → no event_id-range pass needed
         return table.merge(
             events, batch_id=batch_id, post_dedup_transform=transform,
-            bounded_lateness_us=bounded_lateness_us,
+            bounded_lateness_us=bounded_lateness_us, mode=merge_mode,
         )
 
     lo_hi = events.agg(F.min("event_id"), F.max("event_id")).first()
@@ -136,7 +140,7 @@ def apply_cdc_batch(
     if not fences:
         return table.merge(
             events, batch_id=batch_id, post_dedup_transform=transform,
-            bounded_lateness_us=bounded_lateness_us,
+            bounded_lateness_us=bounded_lateness_us, mode=merge_mode,
         )
 
     lineage: dict = {}
@@ -147,14 +151,14 @@ def apply_cdc_batch(
         )
         lineage = table.merge(
             sub, batch_id=f"{batch_id}.{i}", post_dedup_transform=transform,
-            bounded_lateness_us=bounded_lateness_us,
+            bounded_lateness_us=bounded_lateness_us, mode=merge_mode,
         )
         apply_schema_event(table, ev)
         start = ev["fence_event_id"]
     tail = events.filter(F.col("event_id") >= start)
     lineage = table.merge(
         tail, batch_id=f"{batch_id}.tail", post_dedup_transform=transform,
-        bounded_lateness_us=bounded_lateness_us,
+        bounded_lateness_us=bounded_lateness_us, mode=merge_mode,
     )
     return lineage
 
@@ -175,6 +179,7 @@ def run_ingest(
     transform=None,
     table_schema: list[tuple[str, str]] | None = None,
     on_batch_applied=None,
+    merge_mode: str = "cow",
 ) -> LakeTable:
     """Run the streaming ingest to completion of currently-available
     data (availableNow trigger) and return the table. Call again with
@@ -240,7 +245,7 @@ def run_ingest(
         apply_cdc_batch(
             table, batch_df, batch_id=f"epoch-{epoch_id}",
             schema_events=schema_events, transform=transform,
-            bounded_lateness_us=bounded_us,
+            bounded_lateness_us=bounded_us, merge_mode=merge_mode,
         )
         applied["n"] += 1
         # hook BEFORE maintenance: downstream consumers advance their
@@ -251,7 +256,12 @@ def run_ingest(
         if maintenance_every and applied["n"] % maintenance_every == 0:
             # targeted: rewrite only buckets that accumulated small
             # per-batch files — a full-table rewrite every N batches
-            # would be O(table) maintenance at 100 TB
+            # would be O(table) maintenance at 100 TB. Under mor, fold
+            # accumulated delta files back into base first (the MoR
+            # write-amplification savings are paid back HERE, amortized
+            # over N batches, instead of on every merge).
+            if merge_mode == "mor":
+                table.compact_deltas()
             table.compact_small_files()
             table.expire_snapshots(keep_last=keep_snapshots)
 

@@ -138,6 +138,74 @@ def run_ingest_bench(spark, n_events: int, n_buckets: int = 64) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_mor_vs_cow_bench(
+    spark, n_base: int, n_updates: int, n_buckets: int = 64
+) -> dict:
+    """Write-amplification comparison: apply ONE update-heavy batch to
+    an EXISTING base table under cow (rewrites every hit base file) vs
+    mor (appends delta files only; read-time LWW resolution). Base
+    build is untimed; the timed span is the apply. The gap grows with
+    base-file size — at 100 TB the cow apply rewrites GBs per touched
+    bucket while mor writes only the batch — so the small-SF number
+    here is a LOWER bound on the mor advantage."""
+    from ais_etl_spark.feed import synth_cdc_feed
+    from ais_etl_spark.lake import LakeTable
+    from ais_etl_spark.streaming.ingest import PAGES_SCHEMA, apply_cdc_batch
+
+    tmp = tempfile.mkdtemp(prefix="ais-etl-bench-mor-")
+    par = spark.sparkContext.defaultParallelism * 4
+    try:
+        base_path = os.path.join(tmp, "base_feed")
+        upd_path = os.path.join(tmp, "upd_feed")
+        synth_cdc_feed(
+            spark, n_events=n_base, seed=42, hot_pct=20, num_partitions=par
+        ).write.parquet(base_path)
+        # same url population (url space is indexed 0..n_urls-1 either
+        # way), different seed for a fresh draw; event ids and
+        # timestamps shifted PAST the base so the updates mostly WIN
+        # (the update-heavy steady state, not a stale-noop storm)
+        n_urls = max(1, n_base // 10)
+        upd = synth_cdc_feed(
+            spark, n_events=n_updates, seed=99, hot_pct=20,
+            n_urls=n_urls, num_partitions=par,
+        )
+        upd = (
+            upd.withColumn("event_id", F.col("event_id") + F.lit(n_base))
+            .withColumn("offset", F.col("offset") + F.lit(n_base))
+            .withColumn(
+                "warc_ts",
+                F.timestamp_seconds(F.unix_timestamp("warc_ts") + F.lit(n_base + 10**7)),
+            )
+        )
+        upd.write.parquet(upd_path)
+        base_events = spark.read.parquet(base_path)
+        upd_events = spark.read.parquet(upd_path)
+        out: dict = {"base_events": n_base, "update_events": n_updates}
+        for mode in ("cow", "mor"):
+            table = LakeTable.create(
+                spark, os.path.join(tmp, f"pages-{mode}"), PAGES_SCHEMA,
+                key="url", order_col="warc_ts", n_buckets=n_buckets,
+            )
+            apply_cdc_batch(table, base_events, batch_id="base")  # untimed
+            t0 = time.time()
+            lin = apply_cdc_batch(table, upd_events, batch_id="upd", merge_mode=mode)
+            dt = time.time() - t0
+            out[f"{mode}_apply_sec"] = round(dt, 3)
+            out[f"{mode}_apply_events_per_sec"] = round(n_updates / dt, 1)
+            out[f"{mode}_files_written"] = lin.get("files_written")
+            if mode == "mor":
+                # fold cost (amortized over many batches in production)
+                t0 = time.time()
+                table.compact_deltas()
+                out["mor_compact_sec"] = round(time.time() - t0, 3)
+        out["mor_speedup"] = round(
+            out["cow_apply_sec"] / out["mor_apply_sec"], 2
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERY_NAMES = [
     "tf_codec_transcode",
     "cdc_lww_snapshot",
@@ -192,6 +260,12 @@ def main() -> None:
     )
     calib_ingest = calibrate()
     ingest = run_ingest_bench(spark, n_events)
+    mor = None
+    if os.environ.get("BENCH_SKIP_MOR") != "1":
+        mor = run_mor_vs_cow_bench(
+            spark, n_base=max(n_events // 2, 10_000),
+            n_updates=max(n_events // 8, 2_500),
+        )
     calib_queries = calibrate()
 
     # each query runs twice: first execution pays whole-stage-codegen
@@ -223,6 +297,7 @@ def main() -> None:
         "sf": sf,
         "cores": cores,
         "ingest": ingest,
+        "mor_vs_cow": mor,
         "total_sec": total,
         # fixed-work host-speed probes timed immediately before the
         # ingest and query sections: drift_factor ~1 = quiet window,

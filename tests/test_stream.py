@@ -102,7 +102,11 @@ def test_ingest_with_inline_maintenance(spark, tmpdir_path):
     want = {(r.url, r.text) for r in _expected_final(feed).collect()}
     assert got == want
     # expiry really ran: only the retained snapshots remain on disk
-    commits = os.listdir(os.path.join(tbl_dir, "_commits"))
+    # (the LATEST head-pointer hint is not a commit — exclude it)
+    commits = [
+        f for f in os.listdir(os.path.join(tbl_dir, "_commits"))
+        if f.endswith(".json")
+    ]
     assert len(commits) <= 2
     # a resumed run with no new files applies nothing new
     table2 = run_ingest(
