@@ -2376,7 +2376,43 @@ def _diag_cdc_sync_hop(spark, sf_dir):
     )
 
 
+def _diag_cdc_mor_replay(spark, sf_dir):
+    """Merge-on-read twin of the cdc_engine_replay gate (outside the
+    50-entry driver budget): the same 4-batch html-feed replay, but
+    every batch lands as MoR delta files (zero base rewrites) and the
+    middle of the run folds once via compact_deltas(). The final read
+    must equal the same ANSI replay oracle row-for-row — the replay-
+    equality bar applied to the delta-file write path + read-time LWW
+    resolution."""
+    import tempfile as _tf
+
+    from ais_etl_spark.streaming.ingest import apply_cdc_batch
+
+    feed = _feed_with_html(spark, sf_dir)
+    lo, hi = feed.agg(F.min("event_id"), F.max("event_id")).first()
+    tmp = _tf.mkdtemp(prefix="ais-etl-mor-contract-")
+    _register_tmpdir_cleanup(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "pages"), PAGES_SCHEMA, key="url",
+        order_col="warc_ts", n_buckets=16,
+    )
+    n_batches = 4
+    step = (hi - lo) // n_batches + 1
+    for b in range(n_batches):
+        chunk = feed.filter(
+            (F.col("event_id") >= lo + b * step)
+            & (F.col("event_id") < lo + (b + 1) * step)
+        )
+        apply_cdc_batch(table, chunk, batch_id=f"mor-{b}", merge_mode="mor")
+        if b == 1:
+            table.compact_deltas()  # mid-run fold: base+delta mix after
+    return table.read().select(
+        "url", _ms("warc_ts").alias("warc_ts_ms"), "text", "lang"
+    )
+
+
 DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "diag_cdc_mor_replay": _diag_cdc_mor_replay,
     "diag_cdc_incremental_agg": _diag_cdc_incremental_agg,
     "diag_cdc_sync_hop": _diag_cdc_sync_hop,
     "diag_txt_hash_split": _diag_txt_hash_split,
@@ -2388,6 +2424,7 @@ DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 DIAGNOSTIC_ORACLES: dict[str, str] = {
+    "diag_cdc_mor_replay": _ENGINE_REPLAY_ORACLE,
     "diag_cdc_incremental_agg": f"""WITH {CDC_FEED_ORACLE_CTE.strip()}, {_CDC_WIN}
 SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(length(text)) AS BIGINT) AS sum_n_chars
