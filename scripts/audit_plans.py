@@ -117,6 +117,23 @@ CHECKS = {
         ("probe prunes index partitions dynamically", "dynamicpruning"),
         ("no cartesian", "CartesianProduct", False),
     ],
+    "mor_dirty_read": [
+        # merge-on-read resolution: per-key LWW over the DIRTY buckets
+        # is an aggregate WITH map-side partial aggregation (each task
+        # collapses its local versions per key before the shuffle — the
+        # same skew-absorbing shape as the flagship lww_latest; the
+        # struct-max compiles to SortAggregate, whose partial phase
+        # still combines map-side) — never a window over the stream
+        ("resolution has map-side partial aggregation", "partial_max"),
+        ("no window in the resolution", "Window", False),
+    ],
+    "mor_clean_read": [
+        # the CoW fast path after folding: a read of a delta-free
+        # table is a plain scan — zero resolution shuffle, zero agg;
+        # every pre-MoR table and every gate plan is byte-identical
+        ("no shuffle on a delta-free read", "Exchange", False),
+        ("no resolution aggregate", "HashAggregate", False),
+    ],
 }
 
 
@@ -146,9 +163,42 @@ def _build_ivf_index_probe(spark, sf_dir):
     )
 
 
+def _mor_table(spark):
+    import datetime as dt
+    import tempfile
+
+    from ais_etl_spark.lake import LakeTable
+
+    tmp = tempfile.mkdtemp(prefix="ais-etl-plan-mor-")
+    t = LakeTable.create(
+        spark, os.path.join(tmp, "t"),
+        [("url", "string"), ("warc_ts", "timestamp"), ("text", "string")],
+        n_buckets=4,
+    )
+    T0 = dt.datetime(2026, 1, 1)
+    ddl = "event_id bigint, op string, url string, warc_ts timestamp, text string"
+    t.merge(spark.createDataFrame(
+        [(1, "I", "u1", T0, "a"), (2, "I", "u2", T0, "b")], ddl), "b0", mode="mor")
+    t.merge(spark.createDataFrame(
+        [(3, "U", "u1", T0 + dt.timedelta(seconds=1), "a2")], ddl), "b1", mode="mor")
+    return t
+
+
+def _build_mor_dirty_read(spark, sf_dir):
+    return _mor_table(spark).read()
+
+
+def _build_mor_clean_read(spark, sf_dir):
+    t = _mor_table(spark)
+    t.compact_deltas()
+    return t.read()
+
+
 CUSTOM_BUILDERS = {
     "ivf_assign_pass": _build_ivf_assign_pass,
     "ivf_index_probe": _build_ivf_index_probe,
+    "mor_dirty_read": _build_mor_dirty_read,
+    "mor_clean_read": _build_mor_clean_read,
 }
 
 
