@@ -103,6 +103,10 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self._commit_cache: dict[int, dict] = {}
+        # write-audit-publish: while set, the merge pipeline parks its
+        # commit + lineage in _staged_capture instead of publishing
+        self._stage_to: str | None = None
+        self._staged_capture: dict | None = None
 
     # ------------------------------------------------------------------
     # creation / loading
@@ -305,6 +309,12 @@ class LakeTable:
         raced another writer to the same snapshot id only on systems
         where the target exists check matters; single-writer is the
         documented contract (see module docstring)."""
+        if self._stage_to is not None:
+            # write-audit-publish: park the full commit dict in memory;
+            # stage_merge persists it to the staged file (with the
+            # lineage offsets captured below) once the pipeline is done
+            self._staged_capture = {"commit": commit, "offsets": []}
+            return
         final = self._commit_path(commit["snapshot_id"])
         if os.path.exists(final):
             raise RuntimeError(
@@ -842,6 +852,133 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------------
+    # write-audit-publish (Iceberg's WAP pattern)
+    # ------------------------------------------------------------------
+
+    def _staged_path(self, batch_id: str) -> str:
+        return os.path.join(self.path, _COMMITS, f"staged-{batch_id}.json")
+
+    def _staged_data_dir(self, batch_id: str) -> str:
+        return os.path.join(self.path, _DATA, f"staged-{batch_id}")
+
+    def _merge_rel_dir(self, snap_id: int) -> str:
+        if self._stage_to is not None:
+            return f"{_DATA}/staged-{self._stage_to}"
+        return f"{_DATA}/snap{snap_id:012d}"
+
+    def stage_merge(self, events: DataFrame, batch_id: str, **merge_kwargs) -> dict:
+        """Write-audit-publish step 1 (WRITE): run the FULL merge
+        pipeline — dedup, transform, CoW rewrite or MoR deltas — but
+        park the result as a STAGED snapshot: data files land under
+        ``data/staged-<batch_id>/``, the commit JSON under
+        ``_commits/staged-<batch_id>.json``, and neither head
+        resolution, readers, nor the lineage table see any of it.
+        Audit the staged state with :meth:`read_staged` (or any
+        validation over it), then :meth:`publish_staged` — which makes
+        the batch visible ATOMICALLY, exactly as if ``merge`` had run —
+        or :meth:`discard_staged`, which removes every trace. The
+        production quality-gate shape: bad batches are rejected BEFORE
+        they are queryable, not rolled back after.
+
+        Restaging the same ``batch_id`` replaces the previous staged
+        attempt. ``batch_id`` must be filesystem-safe (it names the
+        staged paths). Returns the would-be lineage dict (same content
+        ``merge`` would return; ``{}`` if the batch id is already
+        COMMITTED — the exactly-once fence applies to staging too)."""
+        self.discard_staged(batch_id)  # replace any earlier attempt
+        self._stage_to = batch_id
+        self._staged_capture = None
+        try:
+            lineage = self.merge(events, batch_id, **merge_kwargs)
+        finally:
+            self._stage_to = None
+        if self._staged_capture is None:
+            return lineage  # already-committed fence: nothing staged
+        tmp = os.path.join(self.path, _COMMITS, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(self._staged_capture, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._staged_path(batch_id))
+        self._staged_capture = None
+        return lineage
+
+    def _load_staged(self, batch_id: str) -> dict:
+        try:
+            with open(self._staged_path(batch_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no staged commit for batch {batch_id!r} under {self.path}"
+            )
+
+    def read_staged(self, batch_id: str, include_internal: bool = False) -> DataFrame:
+        """The table AS IF the staged batch were published — the AUDIT
+        surface of the WAP flow. Same resolution semantics as read()."""
+        c = self._load_staged(batch_id)["commit"]
+        out = self._resolved_entries_df(c, c["files"])
+        if not include_internal:
+            out = out.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
+        return out
+
+    def publish_staged(self, batch_id: str) -> dict:
+        """Write-audit-publish step 3 (PUBLISH): atomically promote the
+        staged commit to the head of the table. Fails if the head moved
+        since staging (the staged merge resolved against a snapshot
+        that is no longer current — restage on the new head); the
+        staged file is left in place so the failure is inspectable.
+        On success the lineage rows become durable and the staged
+        marker is removed. Returns the commit's lineage dict."""
+        staged = self._load_staged(batch_id)
+        commit, offsets = staged["commit"], staged.get("offsets", [])
+        head = self.current_snapshot_id()
+        if commit.get("parent") != head:
+            raise RuntimeError(
+                f"staged batch {batch_id!r} was built on snapshot "
+                f"{commit.get('parent')} but the head is now {head}; "
+                f"restage against the current head"
+            )
+        self._write_commit(commit)
+        if commit.get("lineage"):
+            self._append_lineage(commit["lineage"], offsets)
+        os.remove(self._staged_path(batch_id))
+        return commit.get("lineage", {})
+
+    def discard_staged(self, batch_id: str) -> bool:
+        """Drop a staged batch: remove its commit marker and its data
+        directory. True if anything was removed. Publishing committed
+        NONE of it, so this is pure cleanup — no snapshot is touched."""
+        import shutil as _sh
+
+        removed = False
+        p = self._staged_path(batch_id)
+        if os.path.exists(p):
+            os.remove(p)
+            removed = True
+        d = self._staged_data_dir(batch_id)
+        if os.path.isdir(d):
+            _sh.rmtree(d, ignore_errors=True)
+            removed = True
+        # dead-letter rows written while staging belong to the attempt
+        for sub in (f"batch={batch_id}", f"batch={batch_id}.late"):
+            q = os.path.join(self.path, _QUARANTINE, sub)
+            if os.path.isdir(q):
+                _sh.rmtree(q, ignore_errors=True)
+                removed = True
+        return removed
+
+    def staged_batches(self) -> list[str]:
+        """Batch ids with a staged (written-not-published) commit."""
+        d = os.path.join(self.path, _COMMITS)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[len("staged-"):-len(".json")]
+            for f in os.listdir(d)
+            if f.startswith("staged-") and f.endswith(".json")
+        )
+
+    # ------------------------------------------------------------------
     # MERGE (the CDC apply)
     # ------------------------------------------------------------------
 
@@ -1155,7 +1292,12 @@ class LakeTable:
         column; empty single-column frame when nothing was ever
         quarantined."""
         p = os.path.join(self.path, _QUARANTINE)
-        if not os.path.isdir(p):
+        # the dir may exist but hold no batches (e.g. a discarded WAP
+        # attempt removed the only one) — an empty parquet read cannot
+        # infer a schema
+        if not os.path.isdir(p) or not any(
+            s.startswith("batch=") for s in os.listdir(p)
+        ):
             return self.spark.createDataFrame([], "batch string")
         # batches quarantined before and after a schema evolution of
         # the FEED may differ in columns — union them, null-padded
@@ -1263,7 +1405,7 @@ class LakeTable:
             F.count("*").alias("rows_after"),
         )
         snap_id = c["snapshot_id"] + 1
-        rel_dir = f"{_DATA}/snap{snap_id:012d}"
+        rel_dir = self._merge_rel_dir(snap_id)
         ordered = [col["name"] for col in cur_cols]
         new_files = self._write_data(
             observed.select(*ordered, _SEQ, _DELETED, "_bucket"),
@@ -1342,7 +1484,7 @@ class LakeTable:
         )
         new_files = self._write_data(
             observed.select(*ordered, _SEQ, _DELETED, "_bucket"),
-            c, f"{_DATA}/snap{snap_id:012d}",
+            c, self._merge_rel_dir(snap_id),
             n_parts=max(len(touched), 1), kind="delta", seq=snap_id,
         )
         try:
@@ -1558,6 +1700,11 @@ class LakeTable:
         for s in keep:
             for f in self.commit(s)["files"]:
                 # path is "<data>/snapNNN/_bucket=B" → keep the snap dir
+                referenced.add(f["path"].split("/")[1])
+        # staged-not-yet-published batches (WAP) reference data dirs no
+        # snapshot lists yet — expiring them would break publish_staged
+        for b in self.staged_batches():
+            for f in self._load_staged(b)["commit"]["files"]:
                 referenced.add(f["path"].split("/")[1])
         dirs_removed = 0
         data_dir = os.path.join(self.path, _DATA)
@@ -2086,6 +2233,12 @@ class LakeTable:
     # ------------------------------------------------------------------
 
     def _append_lineage(self, lineage: dict, offsets: list[dict]) -> None:
+        if self._stage_to is not None and self._staged_capture is not None:
+            # write-audit-publish: lineage rows become durable only at
+            # publish time (a discarded staged batch never ran, as far
+            # as the metrics table is concerned)
+            self._staged_capture["offsets"] = offsets or []
+            return
         rows = [
             {
                 "batch_id": lineage["batch_id"],

@@ -1,0 +1,133 @@
+"""Write-audit-publish staging (Iceberg's WAP pattern re-expressed on
+the LakeTable commit log): stage_merge parks a full merge result where
+no reader can see it, read_staged is the audit surface, publish_staged
+promotes it atomically, discard_staged removes every trace. The
+production quality gate: a bad batch is rejected BEFORE it is
+queryable, complementing the row-level dead-letter quarantine
+(reference analog: audio_manager's skip-and-count,
+/root/reference/NeMo/.../audio_manager/fastapi_server.py:170-199, which
+also validates before emitting)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ais_etl_spark.lake import LakeTable
+
+SCHEMA = [("url", "string"), ("warc_ts", "timestamp"), ("text", "string")]
+EV_DDL = "event_id bigint, op string, url string, warc_ts timestamp, text string"
+
+
+def T(s):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(rows, EV_DDL)
+
+
+@pytest.fixture()
+def tbl(spark, tmpdir_path):
+    t = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=4)
+    t.merge(ev(spark, [(1, "I", "u1", T(1), "a"), (2, "I", "u2", T(1), "b")]), "b0")
+    return t
+
+
+B1 = [(3, "U", "u1", T(2), "a2"), (4, "D", "u2", T(2), None)]
+
+
+def test_staged_batch_is_invisible_until_published(spark, tbl):
+    head = tbl.current_snapshot_id()
+    lin = tbl.stage_merge(ev(spark, B1), "b1")
+    assert lin["updates"] == 1 and lin["deletes"] == 1
+    # nothing visible: head, read, lookup, lineage
+    assert tbl.current_snapshot_id() == head
+    assert sorted(r.text for r in tbl.read().collect()) == ["a", "b"]
+    assert [r.text for r in tbl.lookup("u1").collect()] == ["a"]
+    assert sorted(r.batch_id for r in tbl.lineage().collect()) == ["b0"]
+    assert tbl.staged_batches() == ["b1"]
+    # audit surface shows the would-be state
+    assert sorted((r.url, r.text) for r in tbl.read_staged("b1").collect()) == [
+        ("u1", "a2")
+    ]
+
+
+def test_publish_promotes_atomically(spark, tbl):
+    tbl.stage_merge(ev(spark, B1), "b1")
+    lin = tbl.publish_staged("b1")
+    assert lin["batch_id"] == "b1"
+    assert sorted((r.url, r.text) for r in tbl.read().collect()) == [("u1", "a2")]
+    assert sorted(r.batch_id for r in tbl.lineage().collect()) == ["b0", "b1"]
+    assert tbl.staged_batches() == []
+    # published commit equals a direct merge: exactly-once fence holds
+    assert tbl.merge(ev(spark, B1), "b1") == {}
+
+
+def test_discard_removes_every_trace(spark, tbl, tmpdir_path):
+    tbl.stage_merge(ev(spark, B1), "b1", mode="mor")
+    assert tbl.discard_staged("b1")
+    assert tbl.staged_batches() == []
+    assert not os.path.isdir(os.path.join(tmpdir_path, "data", "staged-b1"))
+    assert sorted(r.text for r in tbl.read().collect()) == ["a", "b"]
+    # batch id is free again — a later direct merge applies normally
+    lin = tbl.merge(ev(spark, B1), "b1")
+    assert lin["updates"] == 1
+
+
+def test_stale_publish_rejected_then_restage(spark, tbl):
+    tbl.stage_merge(ev(spark, B1), "b1")
+    tbl.merge(ev(spark, [(5, "I", "u3", T(3), "c")]), "b2")  # head moves
+    with pytest.raises(RuntimeError, match="restage"):
+        tbl.publish_staged("b1")
+    # staged attempt left inspectable, then restaged on the new head
+    assert tbl.staged_batches() == ["b1"]
+    tbl.stage_merge(ev(spark, B1), "b1")
+    tbl.publish_staged("b1")
+    assert sorted(r.url for r in tbl.read().collect()) == ["u1", "u3"]
+
+
+def test_staging_an_already_committed_batch_is_fenced(spark, tbl):
+    assert tbl.stage_merge(
+        ev(spark, [(1, "I", "u1", T(1), "a"), (2, "I", "u2", T(1), "b")]), "b0"
+    ) == {}
+    assert tbl.staged_batches() == []
+
+
+def test_staged_survives_expiry_and_restart(spark, tbl, tmpdir_path):
+    tbl.stage_merge(ev(spark, B1), "b1")
+    tbl.merge(ev(spark, [(5, "I", "u3", T(3), "c")]), "b2")
+    tbl.expire_snapshots(keep_last=1)
+    # a fresh instance (process restart) still sees and can act on it
+    t2 = LakeTable.load(spark, tmpdir_path)
+    assert t2.staged_batches() == ["b1"]
+    assert t2.read_staged("b1").count() == 1
+    with pytest.raises(RuntimeError):
+        t2.publish_staged("b1")  # head moved before the expiry
+    t2.discard_staged("b1")
+    assert t2.validate(full=True)["ok"]
+
+
+def test_audit_reject_workflow(spark, tbl):
+    """The intended gate: stage → validate → publish-or-discard."""
+    bad = ev(spark, [(3, "D", "u1", T(2), None), (4, "D", "u2", T(2), None)])
+    tbl.stage_merge(bad, "b1")
+    staged_live = tbl.read_staged("b1").count()
+    if staged_live == 0:  # quality rule: a batch may never empty the table
+        tbl.discard_staged("b1")
+    assert sorted(r.text for r in tbl.read().collect()) == ["a", "b"]
+    good = ev(spark, [(3, "U", "u1", T(2), "a2")])
+    tbl.stage_merge(good, "b1")
+    assert tbl.read_staged("b1").count() > 0
+    tbl.publish_staged("b1")
+    assert sorted(r.text for r in tbl.read().collect()) == ["a2", "b"]
+
+
+def test_staged_quarantine_rows_discarded_with_the_attempt(spark, tbl):
+    rows = B1 + [(9, "X", "u9", T(2), "bad-op")]
+    lin = tbl.stage_merge(ev(spark, rows), "b1")
+    assert lin["malformed"] == 1
+    assert tbl.quarantine().count() == 1
+    tbl.discard_staged("b1")
+    assert tbl.quarantine().count() == 0
