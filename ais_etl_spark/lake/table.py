@@ -492,6 +492,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         order_min=None,
         order_max=None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Current-snapshot scan. Groups files by the schema version
         they were written under, maps physical → current names by
@@ -506,6 +507,10 @@ class LakeTable:
         written key-sorted (a change feed whose keys are uncorrelated
         with event time gets little file-level skipping, exactly as in
         Iceberg)."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR tag, not both")
+            snapshot_id = self.resolve_ref(tag)
         c = self.commit(snapshot_id)
         files = self._select_files(c, buckets, order_min, order_max)
         out = self._resolved_entries_df(c, files)
@@ -850,6 +855,68 @@ class LakeTable:
         return self.spark.createDataFrame(
             pd.concat([p for p, _ in frames], ignore_index=True), schema=ddl
         )
+
+    # ------------------------------------------------------------------
+    # snapshot tags (named refs — Iceberg's tags; the dataset-release
+    # primitive: a training run pins `read(tag="crawl-2026-08")` and
+    # gets the same rows forever, immune to ongoing ingest)
+    # ------------------------------------------------------------------
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.path, _COMMITS, "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        try:
+            with open(self._tags_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, snapshot_id: int | None = None,
+            replace: bool = False) -> int:
+        """Pin ``name`` to a snapshot (default: current head). Tags are
+        immutable by default — retagging an existing name needs
+        ``replace=True`` — because their whole point is that a consumer
+        reading ``read(tag=...)`` gets identical rows forever. Tagged
+        snapshots are EXEMPT from ``expire_snapshots``. Single-writer,
+        like every commit-log mutation. Returns the pinned id."""
+        snap = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if snap is None or not os.path.exists(self._commit_path(snap)):
+            raise ValueError(f"no such snapshot to tag: {snap}")
+        t = self.tags()
+        if name in t and t[name] != snap and not replace:
+            raise ValueError(
+                f"tag {name!r} already pins snapshot {t[name]}; "
+                f"pass replace=True to move it"
+            )
+        t[name] = int(snap)
+        self._write_tags(t)
+        return int(snap)
+
+    def untag(self, name: str) -> bool:
+        t = self.tags()
+        if name not in t:
+            return False
+        del t[name]
+        self._write_tags(t)
+        return True
+
+    def _write_tags(self, t: dict[str, int]) -> None:
+        tmp = os.path.join(self.path, _COMMITS, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(t, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._tags_path())
+
+    def resolve_ref(self, ref) -> int:
+        """Tag name or snapshot id → snapshot id."""
+        if isinstance(ref, str):
+            t = self.tags()
+            if ref not in t:
+                raise ValueError(f"unknown tag {ref!r}")
+            return t[ref]
+        return int(ref)
 
     # ------------------------------------------------------------------
     # write-audit-publish (Iceberg's WAP pattern)
@@ -1679,7 +1746,10 @@ class LakeTable:
         data directories no retained snapshot references. Time travel
         to expired snapshots stops working; current reads are
         unaffected (the current manifest carries its files by
-        reference). Returns {snapshots_removed, dirs_removed}."""
+        reference). TAGGED snapshots (see :meth:`tag`) are exempt —
+        they are retained as self-contained islands (materialized full
+        manifests) until untagged. Returns
+        {snapshots_removed, dirs_removed}."""
         import shutil
 
         d = os.path.join(self.path, _COMMITS)
@@ -1689,13 +1759,21 @@ class LakeTable:
         )
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+        tagged = set(self.tags().values())
+        drop = [s for s in snaps[:-keep_last] if s not in tagged]
+        keep = sorted(set(snaps[-keep_last:]) | (tagged & set(snaps)))
+        dropped_set = set(drop)
         if drop:
-            # re-root the oldest retained commit as a FULL manifest
-            # BEFORE its ancestors disappear: delta reconstruction and
-            # validate()'s chain walk both stop at the new root instead
-            # of dangling into expired history
-            self._materialize_manifest(keep[0])
+            # re-root every retained commit whose parent is expiring as
+            # a FULL manifest BEFORE its ancestors disappear: delta
+            # reconstruction and validate()'s chain walk stop at the
+            # new root instead of dangling into expired history. With
+            # tags, retained snapshots can be non-contiguous islands —
+            # each island's oldest member gets materialized.
+            for s in keep:
+                parent = self.commit(s).get("parent")
+                if parent is not None and parent in dropped_set:
+                    self._materialize_manifest(s)
         referenced: set[str] = set()
         for s in keep:
             for f in self.commit(s)["files"]:
