@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--maintenance-every", type=int, default=None)
     ap.add_argument("--curate", action="store_true")
+    ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                    help="mor = merge-on-read delta merges (fold via "
+                         "--maintenance-every)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -74,6 +77,7 @@ def main() -> None:
         maintenance_every=args.maintenance_every,
         transform=transform,
         table_schema=table_schema,
+        merge_mode=args.merge_mode,
     )
     c = table.commit()
     print(

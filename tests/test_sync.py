@@ -249,3 +249,31 @@ def test_sync_two_hop_chain(spark, tmpdir_path):
     )
     assert set(_rows(silver)) == {"u3"}
     assert {r["url"] for r in gold.read().collect()} == {"u3"}
+
+
+def test_sync_from_mor_upstream(spark, tmpdir_path):
+    """A merge-on-read upstream feeds the same changelog a CoW one
+    would: sync lanes track it across delta commits, a CoW commit on
+    the dirty table, and a compaction fold (which must produce ZERO
+    change rows — carried data, new layout)."""
+    src = _mk(spark, tmpdir_path, "src")
+    dst = _mk(spark, tmpdir_path, "dst")
+    ev = lambda rows: spark.createDataFrame(rows, EV_DDL)  # noqa: E731
+
+    src.merge(ev([
+        (1, "I", "u1", T(1), "en", 10),
+        (2, "I", "u2", T(1), "fr", 20),
+    ]), "b1", mode="mor")
+    sync_incremental(src, dst)
+    assert _rows(dst) == _rows(src)
+
+    src.merge(ev([(3, "U", "u1", T(2), "de", 11)]), "b2", mode="mor")
+    src.merge(ev([(4, "D", "u2", T(3), None, None)]), "b3", mode="cow")
+    r = sync_incremental(src, dst)
+    assert r["applied"]
+    assert _rows(dst) == _rows(src) == {"u1": ("de", 11)}
+
+    # a pure fold moves the snapshot but changes no logical rows
+    src.compact_deltas()
+    sync_incremental(src, dst)
+    assert _rows(dst) == _rows(src) == {"u1": ("de", 11)}
