@@ -31,6 +31,7 @@ def main() -> None:
     ap.add_argument("--warmup-events", type=int, default=20_000)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--curate", action="store_true",
                     help="full curation enrichment per winner (extract + lang\n"
                          "+ simhash + fingerprint + quality) — the\n"
@@ -99,7 +100,7 @@ def main() -> None:
             key="url", order_col="warc_ts", n_buckets=args.n_buckets,
         )
         wt.merge(spark.read.parquet(warm_path), batch_id="w0",
-                 post_dedup_transform=transform)
+                 post_dedup_transform=transform, mode=args.merge_mode)
 
         table = LakeTable.create(
             spark, os.path.join(tmp, "pages"), schema,
@@ -108,7 +109,8 @@ def main() -> None:
         events = spark.read.parquet(feed_path)
         t0 = time.time()
         lineage = table.merge(events, batch_id="b0",
-                              post_dedup_transform=transform)
+                              post_dedup_transform=transform,
+                              mode=args.merge_mode)
         dt = time.time() - t0
         out = {
             "parallelism": par,

@@ -131,3 +131,59 @@ def test_staged_quarantine_rows_discarded_with_the_attempt(spark, tbl):
     assert tbl.quarantine().count() == 1
     tbl.discard_staged("b1")
     assert tbl.quarantine().count() == 0
+
+
+# ---------------------------------------------------------------------------
+# property: any interleaving of direct merges, staged-then-published
+# batches, and staged-then-discarded batches equals direct merges of
+# exactly the applied subset
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_actions = st.lists(
+    st.sampled_from(["direct", "publish", "discard"]), min_size=1, max_size=5
+)
+_step = st.integers(min_value=0, max_value=20)
+
+
+@given(_actions, st.lists(_step, min_size=3, max_size=18))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_wap_interleavings_equal_direct(spark, tmpdir_path, actions, steps):
+    import shutil
+    import tempfile
+
+    rows = [
+        (i, ("I", "U", "D")[ts % 3], f"u{ts % 5}", T(ts),
+         None if ts % 3 == 2 else f"v{i}")
+        for i, ts in enumerate(steps)
+    ]
+    per = len(rows) // len(actions) + 1
+    d = tempfile.mkdtemp(prefix="wap-prop-", dir=tmpdir_path)
+    try:
+        t1 = LakeTable.create(spark, os.path.join(d, "a"), SCHEMA, n_buckets=4)
+        t2 = LakeTable.create(spark, os.path.join(d, "b"), SCHEMA, n_buckets=4)
+        for i, act in enumerate(actions):
+            chunk = rows[i * per:(i + 1) * per]
+            if not chunk:
+                continue
+            batch = ev(spark, chunk)
+            if act == "direct":
+                t1.merge(batch, f"b{i}")
+            elif act == "publish":
+                t1.stage_merge(batch, f"b{i}")
+                t1.publish_staged(f"b{i}")
+            else:
+                t1.stage_merge(batch, f"b{i}")
+                t1.discard_staged(f"b{i}")
+            if act != "discard":
+                t2.merge(batch, f"b{i}")
+        got = sorted(tuple(r) for r in t1.read().collect())
+        want = sorted(tuple(r) for r in t2.read().collect())
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
