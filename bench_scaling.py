@@ -65,6 +65,7 @@ def run_level(n_cores: int, events: int, zpath: str, feed_dir: str | None = None
         "--events", str(events),
         "--out", out,
         "--curate",
+        "--merge-mode", os.environ.get("BENCH_MERGE_MODE", "cow"),
     ]
     if feed_dir:
         cmd += ["--feed-dir", feed_dir]
