@@ -625,17 +625,22 @@ class LakeTable:
         ties toward the later-committed copy. Output column set equals
         ``_entries_df``'s (internal columns included). The shuffle is
         bounded by the DIRTY rows handed in, not the table."""
+        df = self._entries_df(c, files, with_fileseq=True)
+        if key_value is not None:
+            # point lookup: the predicate sits BELOW the groupBy, so it
+            # pushes down to the parquet scan's row-group stats
+            df = df.filter(F.col(c["key"]) == key_value)
+        return self._resolve_lww_rows(c, df)
+
+    def _resolve_lww_rows(self, c: dict, df: DataFrame) -> DataFrame:
+        """Row-level core of :meth:`_resolve_lww`: ``df`` must carry
+        the current schema columns + ``_seq``/``_deleted``/``_fileseq``."""
         key = c["key"]
         order_col = c["order_col"]
         payload = [
             x["name"] for x in self.schema_cols(c)
             if x["name"] not in (key, order_col)
         ]
-        df = self._entries_df(c, files, with_fileseq=True)
-        if key_value is not None:
-            # point lookup: the predicate sits BELOW the groupBy, so it
-            # pushes down to the parquet scan's row-group stats
-            df = df.filter(F.col(key) == key_value)
         w = F.max(
             F.struct(
                 F.col(order_col), F.col(_SEQ), F.col(_FILESEQ),
@@ -650,21 +655,54 @@ class LakeTable:
             F.col(f"w.{_DELETED}").alias(_DELETED),
         )
 
+    # below this delta-rows/base-rows ratio the dirty-bucket read uses
+    # the key-join path (anti/semi on the delta key set, AQE-broadcast
+    # when small) instead of a full-bucket groupBy: at 100 TB a 10 MB
+    # delta on a TB-scale bucket must not force an all-rows shuffle
+    MOR_JOIN_RESOLVE_RATIO = 0.05
+
     def _resolved_entries_df(self, c: dict, files: list[dict]) -> DataFrame:
         """``_entries_df`` + merge-on-read resolution: buckets with no
         delta file stream through untouched (zero extra shuffle — the
         CoW fast path and every pre-MoR table plan are unchanged);
-        buckets holding deltas are LWW-resolved per key."""
+        buckets holding deltas are LWW-resolved per key.
+
+        Resolution strategy is chosen DRIVER-side from manifest row
+        counts: when the delta rows are a small fraction of the dirty
+        buckets' base rows (< ``MOR_JOIN_RESOLVE_RATIO``), base rows
+        whose key has no delta version bypass resolution via a
+        LEFT ANTI join on the distinct delta keys (AQE broadcasts the
+        small key set → zero base shuffle), and only the touched keys
+        (semi-join ∪ deltas) pay the per-key struct-max. Above the
+        ratio — update-heavy backlogs — the single full groupBy is
+        cheaper than shuffling base rows into a join."""
         dirty = self._delta_buckets(files)
         if not dirty:
             return self._entries_df(c, files)
         clean = [f for f in files if f["bucket"] not in dirty]
-        resolved = self._resolve_lww(
-            c, [f for f in files if f["bucket"] in dirty]
-        )
+        dirty_files = [f for f in files if f["bucket"] in dirty]
+        delta_files = [f for f in dirty_files if f.get("kind") == "delta"]
+        base_files = [f for f in dirty_files if f.get("kind") != "delta"]
+        d_rows = sum(f.get("n_rows") or 0 for f in delta_files)
+        b_rows = sum(f.get("n_rows") or 0 for f in base_files)
+        stats_ok = all(f.get("n_rows") is not None for f in dirty_files)
+        if (
+            stats_ok and base_files
+            and d_rows <= b_rows * self.MOR_JOIN_RESOLVE_RATIO
+        ):
+            key = c["key"]
+            delta_df = self._entries_df(c, delta_files, with_fileseq=True)
+            base_df = self._entries_df(c, base_files, with_fileseq=True)
+            dkeys = delta_df.select(key).distinct()
+            untouched = base_df.join(dkeys, key, "left_anti").drop(_FILESEQ)
+            touched = base_df.join(dkeys, key, "left_semi").unionByName(delta_df)
+            resolved = self._resolve_lww_rows(c, touched)
+            out = untouched.unionByName(resolved)
+        else:
+            out = self._resolve_lww(c, dirty_files)
         if not clean:
-            return resolved
-        return self._entries_df(c, clean).unionByName(resolved)
+            return out
+        return self._entries_df(c, clean).unionByName(out)
 
     def rollback(self, snapshot_id: int) -> int:
         """Iceberg-style rollback: a NEW commit whose file set, schema

@@ -247,3 +247,30 @@ def test_property_cow_mor_parity(spark, tmpdir_path, events, n_batches, fold):
         assert rows_of(cow) == rows_of(mor)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_join_and_groupby_resolution_agree(spark, tmpdir_path):
+    """The stats-driven join path (tiny delta on a big base: anti/semi
+    on the delta key set, untouched rows bypass resolution) and the
+    full groupBy path must produce identical rows. The fixture's
+    delta/base ratio is above the production threshold, so the path is
+    forced by widening MOR_JOIN_RESOLVE_RATIO."""
+    t = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=2)
+    base = [(i, "I", f"u{i}", T(i), f"v{i}") for i in range(40)]
+    t.merge(ev(spark, base), "b0")  # CoW base files
+    delta = [(100, "U", "u3", T(100), "v3b"), (101, "D", "u7", T(100), None),
+             (102, "I", "u99", T(100), "new"), (103, "U", "u5", T(0), "stale")]
+    t.merge(ev(spark, delta), "b1", mode="mor")
+
+    old = LakeTable.MOR_JOIN_RESOLVE_RATIO
+    try:
+        LakeTable.MOR_JOIN_RESOLVE_RATIO = 0.0  # force groupBy path
+        via_group = rows_of(t)
+        LakeTable.MOR_JOIN_RESOLVE_RATIO = 1.0  # force join path
+        via_join = rows_of(t)
+    finally:
+        LakeTable.MOR_JOIN_RESOLVE_RATIO = old
+    assert via_group == via_join
+    got = {r[0]: r[2] for r in via_join}
+    assert got["u3"] == "v3b" and "u7" not in got
+    assert got["u99"] == "new" and got["u5"] == "v5"  # stale delta lost
