@@ -134,6 +134,15 @@ CHECKS = {
         ("no shuffle on a delta-free read", "Exchange", False),
         ("no resolution aggregate", "HashAggregate", False),
     ],
+    "mor_small_delta_read": [
+        # tiny delta on a big base (the 100 TB steady state): untouched
+        # base rows BYPASS resolution via a left-anti join on the delta
+        # key set (AQE broadcasts it at runtime) — the struct-max agg
+        # only ever sees touched keys, never the bucket's base rows
+        ("untouched base rows bypass via anti-join", "LeftAnti"),
+        ("touched keys selected via semi-join", "LeftSemi"),
+        ("no window anywhere", "Window", False),
+    ],
 }
 
 
@@ -194,11 +203,34 @@ def _build_mor_clean_read(spark, sf_dir):
     return t.read()
 
 
+def _build_mor_small_delta_read(spark, sf_dir):
+    import datetime as dt
+    import tempfile
+
+    from ais_etl_spark.lake import LakeTable
+
+    tmp = tempfile.mkdtemp(prefix="ais-etl-plan-mor-jr-")
+    t = LakeTable.create(
+        spark, os.path.join(tmp, "t"),
+        [("url", "string"), ("warc_ts", "timestamp"), ("text", "string")],
+        n_buckets=2,
+    )
+    T0 = dt.datetime(2026, 1, 1)
+    ddl = "event_id bigint, op string, url string, warc_ts timestamp, text string"
+    t.merge(spark.createDataFrame(
+        [(i, "I", f"u{i}", T0, f"v{i}") for i in range(500)], ddl), "b0")
+    t.merge(spark.createDataFrame(
+        [(1000, "U", "u3", T0 + dt.timedelta(seconds=1), "v3b")], ddl),
+        "b1", mode="mor")
+    return t.read()
+
+
 CUSTOM_BUILDERS = {
     "ivf_assign_pass": _build_ivf_assign_pass,
     "ivf_index_probe": _build_ivf_index_probe,
     "mor_dirty_read": _build_mor_dirty_read,
     "mor_clean_read": _build_mor_clean_read,
+    "mor_small_delta_read": _build_mor_small_delta_read,
 }
 
 
