@@ -1777,10 +1777,19 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     lossless. Signatures come from the Arrow-batched UDF (the scale
     path — no token×bit row blowup; parity with the explode form is
     tested in tests/test_dedup.py)."""
-    docs = _t(spark, sf_dir, "documents")
+    # repartition before the UDF: the corpus is one small parquet file →
+    # one scan task, so without it the whole Arrow simhash pass runs on
+    # a single core (guide §2.5 input skew); the shuffle moved is only
+    # the raw text (MBs). localCheckpoint materializes the signatures
+    # ONCE — the self-join's two branches each re-ran the UDF, and the
+    # filter-pushdown duplication (guide §4.4) doubled each side again:
+    # 4 full UDF evaluations measured before, 1 after.
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sigs = docs.select(
         "doc_id", D.simhash_udf()(F.col("text")).alias("simhash")
-    )
+    ).localCheckpoint(eager=True)
     return D.simhash_pairs(sigs, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
     )

@@ -469,13 +469,26 @@ def simhash_pairs(
                 idc, sigc, "b.blk", "b.blk_val"
             )
 
+        # bit_count filter BEFORE the distinct (guide §2.3: shuffle fewer
+        # bytes): the candidate stream is ~n²/(blocks·2^bits) rows and the
+        # old shape shuffled ALL of them through the distinct before the
+        # cheap Hamming test — at 50k docs that is ~39M rows deduped to
+        # keep ~10³ (measured 92s → the dominant cost of this operator).
+        # Filtering first is exactly equivalent: the filter is a
+        # deterministic function of columns of the distinct key, so
+        # distinct∘filter == filter∘distinct row-for-row.
         cand = (
             blocks(a, "doc_a", "ha")
             .join(blocks(b, "doc_b", "hb"), ["blk", "blk_val"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "ha", "doc_b", "hb")
+            .withColumn(
+                "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "ha", "doc_b", "hb", "hamming")
             .distinct()
         )
+        return cand.select("doc_a", "doc_b", "hamming")
     else:
         cand = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
     return (
