@@ -1859,9 +1859,19 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     the exact all-pairs form stays available as
     embedding_cosine_pairs(candidates=None) and is parity-tested in
     tests/test_dedup.py at tiny scale."""
-    emb = _t(spark, sf_dir, "embeddings")
-    cand = S.lsh_candidate_pairs(emb, dim=64, nbits=4)
-    return D.embedding_cosine_pairs(emb, threshold=0.2, candidates=cand)
+    # fused bucket+score path (r6): one groupBy shuffle + an exact
+    # per-bucket matmul replaces candidate-pair distinct (~n²/2^nbits
+    # rows) + two vector re-attach joins + a twice-evaluated pair-level
+    # Arrow UDF — row-identical by construction (same quantized-exact
+    # arithmetic; parity-tested against the candidate chain in
+    # tests/test_dedup.py). The repartition spreads the single-file
+    # scan's bucket projection across cores (guide §2.5).
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return D.embedding_cosine_pairs_bucketed(
+        emb, dim=64, nbits=4, threshold=0.2
+    )
 
 
 # ===========================================================================

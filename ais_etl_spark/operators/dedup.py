@@ -653,6 +653,100 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         sym.unpersist()
 
 
+def embedding_cosine_pairs_bucketed(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Fused LSH-bucket + exact-cosine near-dup pairs: ONE shuffle (the
+    groupBy on the bucket key) and one exact matmul per bucket, instead
+    of the candidate-pair chain (bucket self-join → distinct over
+    ~n²/2^nbits pair rows → two joins re-attaching the 64-dim vectors →
+    pair-at-a-time Arrow cosine, which the filter-pushdown duplication
+    ran TWICE — guide §4.4/§8: never shuffle wide payloads per pair
+    when the decision needs only in-bucket geometry).
+
+    Output is row-identical to
+    ``embedding_cosine_pairs(df, candidates=lsh_candidate_pairs(df))``
+    (parity-tested): the scoring is the same quantized-exact arithmetic
+    — 6-dp int64 components whose dots/norms stay < 2^53, so the
+    float64 BLAS matmul is EXACT integer arithmetic (every product
+    ≤ dim·(1e6)² and every partial sum is an exactly-representable
+    integer), then the identical IEEE division and 6-dp floor-round.
+    Pairs are oriented doc_a < doc_b by sorting each bucket by id.
+    Row-blocked Gram computation bounds per-task memory at
+    O(block·bucket) instead of O(bucket²)."""
+    from ais_etl_spark.operators.similarity import (
+        _quantize,
+        _round6_np,
+        lsh_bucket,
+    )
+
+    # bucket bits stay on the JVM fold-left projection (the documented
+    # reference arithmetic the oracle transliterates). A numpy twin of
+    # the projection inside the Python pass was tried and measured
+    # SLOWER (1.8s vs 0.8s per pass at 20k×64): the extra Arrow
+    # round-trip of the vector column outweighs the interpreted-lambda
+    # saving at nbits=4.
+    id_sql_type = dict(df.dtypes)[id_col]
+    b = lsh_bucket(df, dim, nbits, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        "bucket",
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        ids = pdf["_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"doc_a": ids[:0], "doc_b": ids[:0],
+                 "cosine": np.zeros(0, dtype=np.float64)}
+            )
+        Q = _quantize(np.stack(pdf["_v"].to_numpy()).astype(np.float64)).astype(
+            np.float64
+        )
+        nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n - 1, block_rows):
+            i1 = min(i0 + block_rows, n)
+            cos = _round6_np((Q[i0:i1] @ Q.T) / np.outer(nrm[i0:i1], nrm))
+            # strict upper triangle relative to the full matrix: column
+            # index > row index ⇒ sorted ids give doc_a < doc_b; equal
+            # ids (pathological dup keys) sort adjacent and are excluded
+            # by the strict id comparison, matching the a.id < b.id rule
+            ri, ci = np.nonzero(cos >= threshold)
+            keep = (ci > ri + i0) & (ids[ri + i0] != ids[ci])
+            ri, ci = ri[keep], ci[keep]
+            if ri.size:
+                out_a.append(ids[ri + i0])
+                out_b.append(ids[ci])
+                out_c.append(cos[ri, ci])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": ids[:0], "doc_b": ids[:0],
+                 "cosine": np.zeros(0, dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return b.groupBy("bucket").applyInPandas(
+        score, f"doc_a {id_sql_type}, doc_b {id_sql_type}, cosine double"
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

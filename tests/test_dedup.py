@@ -197,6 +197,30 @@ def test_embedding_cosine_candidates_parity(spark):
     assert via_lsh == {p: c for p, c in exact.items() if p in cand_set}
 
 
+def test_embedding_cosine_bucketed_parity(spark):
+    """The fused per-bucket matmul path (r6) must reproduce the
+    candidate-chain result row-for-row, cosines included — same LSH
+    buckets, same quantized-exact scoring, only the physical plan
+    differs (one groupBy shuffle + in-bucket Gram matrix instead of
+    candidate distinct + two vector re-attach joins + pair UDF)."""
+    from ais_etl_spark.operators.similarity import lsh_candidate_pairs
+
+    vecs = _det_vecs(spark, n=40)
+    cand = lsh_candidate_pairs(vecs, dim=8, nbits=2)
+    chain = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in
+             D.embedding_cosine_pairs(vecs, threshold=0.2, candidates=cand).collect()}
+    fused = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in
+             D.embedding_cosine_pairs_bucketed(
+                 vecs, dim=8, nbits=2, threshold=0.2).collect()}
+    assert fused == chain and len(fused) > 0
+    # row-block boundary: a tiny block size forces the blocked Gram
+    # computation to cross block edges mid-bucket — same rows must fall out
+    blocked = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in
+               D.embedding_cosine_pairs_bucketed(
+                   vecs, dim=8, nbits=2, threshold=0.2, block_rows=3).collect()}
+    assert blocked == chain
+
+
 def test_embedding_cosine_pairs(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.01, 0.0]), (2, [0.0, 1.0, 0.0])],
