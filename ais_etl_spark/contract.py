@@ -1620,9 +1620,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     signature twin is parity-tested in tests/test_dedup.py — measured
     4× slower locally than JVM md5, so it is the option, not the
     default)."""
-    return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=16, bands=4, shingle_n=3
+    # repartition: the corpus is one small parquet file → one scan task,
+    # so the entire shingle explode + 16×md5 map side ran on a single
+    # core (guide §2.5 input skew; measured 20.5s → 1.9s for the
+    # signature aggregate alone at sf1.0)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
 
 
 @_q(
@@ -1650,7 +1655,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     quadratic. The oracle is the candidate-less exact form — the chain
     hash-matches it because banded MinHash at (k=16, b=4) is verified
     to cover every Jaccard≥0.5 pair of this corpus (sf0.01 and sf0.1)."""
-    docs = _t(spark, sf_dir, "documents")
+    # same single-file input-skew fix as dedup_minhash_lsh (guide §2.5):
+    # every shingle explode in both chains inherits the parallelism
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
     return D.ngram_jaccard_pairs(
         docs, shingle_n=3, threshold=0.5, candidates=cand
