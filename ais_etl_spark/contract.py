@@ -130,6 +130,13 @@ def q_cdc_lww_snapshot(spark, sf_dir):
     count and fails the hash."""
     from ais_etl_spark.operators.lww import lww_window
 
+    # NOTE (r6): two rejected variants, both measured in interleaved
+    # A/B at sf1.0 — (1) localCheckpoint of the two legs: SLOWER
+    # (5.9s vs 3.7s; the eager checkpoints run as serial jobs while the
+    # un-materialized 4-subtree union runs as ONE job whose subtrees
+    # pipeline across all cores); (2) repartitioning the window leg's
+    # feed: a wash (the window's own url shuffle already spreads the
+    # work). Left as-is deliberately.
     agg = _lww_snapshot_df(spark, sf_dir)
     feed = cdc_feed_from_events(spark, sf_dir)
     win = (
@@ -152,7 +159,13 @@ def _lww_snapshot_df(spark, sf_dir) -> DataFrame:
     by the downstream gate queries so they pay one LWW, not two."""
     from ais_etl_spark.operators.lww import lww_latest
 
-    feed = cdc_feed_from_events(spark, sf_dir)
+    # single-file input-skew fix (guide §2.5): the scan is 1-5 splits,
+    # so the LWW map side ran on as many cores; the round-robin shuffle
+    # of the derived feed buys a 32-wide aggregate (measured 3.5→2.2s
+    # for cdc_snapshot_by_lang at sf1.0)
+    feed = cdc_feed_from_events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         lww_latest(feed, key="url", order_cols=("warc_ts", "event_id"))
         .filter(F.col("op") != "D")
