@@ -2135,7 +2135,17 @@ def q_tf_codec_transcode(spark, sf_dir):
     from ais_etl_spark.operators import jpeg as _jpeg
     from ais_etl_spark.operators import wav as _wav
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # partition by the FLAC memo class (doc_id mod 2001): the corpus is
+    # one scan task, so all 2001 real FLAC chains (~1.4 ms each,
+    # measured) ran serially on one core. Hash-partitioning BY THE MEMO
+    # KEY (guide §2, two-level trick: 2001 distinct values ≫ partitions,
+    # so the hash spreads evenly) keeps total chain work at one per
+    # class — each class lands on exactly one task — while spreading it
+    # across cores; the cheaper JPEG classes (0.3 ms) scatter at worst
+    # 180 × n_tasks.
+    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, F.pmod(F.col("doc_id"), F.lit(2001))
+    )
 
     def run(batches):
         # the FLAC leg is a pure function of doc_id mod 2001 and the
