@@ -2003,6 +2003,11 @@ def q_sim_ivf_topk(spark, sf_dir):
     deterministic tiebreaks, and the seeds are the n_cells lowest-id
     vectors — so DuckDB re-derives the same centroids, the same cell
     assignment, the same probes, and the same top-k."""
+    # NOTE (r6): repartitioning the corpus before the Arrow passes was
+    # tried and measured a wash in interleaved A/B (3.6s vs 3.6s at
+    # sf1.0) — at this corpus size the cost is fixed per-job overhead
+    # (~8 jobs: seed collect, 2 Lloyd iterations, assignment, probe),
+    # not the single-task Arrow pass. Left unpartitioned deliberately.
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(

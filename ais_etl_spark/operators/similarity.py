@@ -491,31 +491,32 @@ def kmeans_refine(
                     }
                 )
 
-        def merge_cell(key, pdf):
-            # exact merge of the per-partition partials, then the ONE
-            # deterministic rounding: exact decimal sum → double → /n
-            # (identical to CAST(sum AS DOUBLE)/count in the oracle)
-            from decimal import Decimal
-
-            n = int(pdf["_n"].sum())
-            mean = [
-                float(Decimal(sum(int(x[d]) for x in pdf["_s"])).scaleb(-10)) / n
-                for d in range(dim)
-            ]
-            return pd.DataFrame({"cell": [key[0]], "_e": [mean]})
-
         partials = v.mapInPandas(
             assign_and_sum, "cell int, _n long, _s array<decimal(38,0)>"
         )
-        merged = partials.groupBy("cell").applyInPandas(
-            merge_cell, "cell int, _e array<double>"
-        )
-        # collect the (tiny: n_cells × dim doubles) centroids each
-        # iteration — the lineage cut every iterative algorithm needs,
-        # and it lets empty cells keep their previous centroid with
-        # plain dict code instead of a join+coalesce in the plan.
-        for r in merged.collect():
-            cur[int(r["cell"])] = [float(x) for x in r["_e"]]
+        # merge the per-partition partials DRIVER-side (r6): the
+        # partials are ≤ n_partitions × n_cells tiny rows, so collecting
+        # them and summing exact ints in Python is the same arithmetic
+        # the former groupBy("cell").applyInPandas stage ran — the ONE
+        # deterministic rounding stays: exact decimal sum → double → /n
+        # (identical to CAST(sum AS DOUBLE)/count in the oracle) — but
+        # drops a shuffle + a Python stage from every Lloyd iteration.
+        # The collect doubles as the per-iteration lineage cut, and
+        # empty cells keep their previous centroid via plain dict code.
+        from decimal import Decimal
+
+        acc: dict[int, tuple[int, list[int]]] = {}
+        for r in partials.collect():
+            cell = int(r["cell"])
+            n0, s0 = acc.get(cell, (0, [0] * dim))
+            acc[cell] = (
+                n0 + int(r["_n"]),
+                [a + int(b) for a, b in zip(s0, r["_s"])],
+            )
+        for cell, (n, sums) in acc.items():
+            cur[cell] = [
+                float(Decimal(sums[d]).scaleb(-10)) / n for d in range(dim)
+            ]
     return _lit_cents(corpus.sparkSession).select(
         "cell", F.col("_e").alias(vec_col)
     )
