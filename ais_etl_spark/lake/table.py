@@ -546,11 +546,17 @@ class LakeTable:
         lo = self._order_micros(order_min)
         hi = self._order_micros(order_max)
         if lo is not None or hi is not None:
+            # buckets holding MoR delta files are exempt from order
+            # pruning: dropping a delta file whose newer version or
+            # tombstone shadows an in-window base row would resurrect
+            # the stale base row — LWW resolution must see the whole
+            # dirty bucket. Clean buckets keep full metrics skipping.
+            dirty = {f["bucket"] for f in files if f.get("kind") == "delta"}
             kept = []
             for f in files:
                 omin, omax = f.get("min_order"), f.get("max_order")
-                if omin is None:  # no stats → never skip
-                    kept.append(f)
+                if f["bucket"] in dirty or omin is None:
+                    kept.append(f)  # dirty bucket / no stats → never skip
                 elif (hi is None or omin <= hi) and (lo is None or omax >= lo):
                     kept.append(f)
             files = kept
@@ -990,6 +996,14 @@ class LakeTable:
         staged paths). Returns the would-be lineage dict (same content
         ``merge`` would return; ``{}`` if the batch id is already
         COMMITTED — the exactly-once fence applies to staging too)."""
+        # exactly-once fence BEFORE any cleanup: a batch that was
+        # staged-and-PUBLISHED keeps its data files under
+        # data/staged-<id>/ (publish promotes the commit JSON, it does
+        # not move files), so the unconditional discard below would
+        # rmtree live committed data on a replay of a committed batch
+        # id (e.g. a streaming restart re-staging its last epoch)
+        if batch_id in self.committed_batch_ids():
+            return {}
         self.discard_staged(batch_id)  # replace any earlier attempt
         self._stage_to = batch_id
         self._staged_capture = None
@@ -1052,9 +1066,17 @@ class LakeTable:
     def discard_staged(self, batch_id: str) -> bool:
         """Drop a staged batch: remove its commit marker and its data
         directory. True if anything was removed. Publishing committed
-        NONE of it, so this is pure cleanup — no snapshot is touched."""
+        NONE of it, so this is pure cleanup — no snapshot is touched.
+
+        A batch id that has been COMMITTED (published, or merged
+        directly) is refused outright: a published staged batch's data
+        files live under ``data/staged-<id>/`` and backing a live
+        snapshot — deleting them would destroy committed data (and its
+        quarantine rows)."""
         import shutil as _sh
 
+        if batch_id in self.committed_batch_ids():
+            return False
         removed = False
         p = self._staged_path(batch_id)
         if os.path.exists(p):
@@ -1523,7 +1545,12 @@ class LakeTable:
             # batch on an untouched table): AQE's empty-relation
             # propagation can eliminate the write subtree, leaving the
             # Observation unevaluated — and empty output means every
-            # counter is genuinely zero
+            # counter is genuinely zero. Verify that from the freshly
+            # harvested footer stats: any written row means the failure
+            # was a REAL observation error, and zeroing the counters
+            # would silently corrupt the lineage table — re-raise.
+            if any(f.get("n_rows") for f in new_files):
+                raise
             counts = {k: 0 for k in
                       ("inserts", "updates", "deletes", "stale_noops",
                        "rows_after")}
@@ -1596,7 +1623,12 @@ class LakeTable:
             counts = obs.get
         except Exception:
             # empty winner set (fully-quarantined batch): AQE may have
-            # eliminated the write subtree; zero is then exact
+            # eliminated the write subtree; zero is then exact — but
+            # only when the footer stats confirm nothing was written
+            # (otherwise this is a real observation error: re-raise
+            # rather than fabricate zero upsert/tombstone lineage)
+            if any(f.get("n_rows") for f in new_files):
+                raise
             counts = {}
         lineage = {
             "batch_id": batch_id,

@@ -163,6 +163,33 @@ def test_changes_stale_delta_is_silent(spark, tmpdir_path):
     assert sorted(r.text for r in t.read().collect()) == ["a", "b", "c"]
 
 
+def test_order_pruned_read_parity_on_dirty_table(spark, tmpdir_path):
+    """Windowed reads (order_min/order_max file skipping) on a MoR-dirty
+    table must equal the CoW twin: a delta file whose newer version or
+    tombstone shadows an in-window base row must never be pruned away
+    (pruning before LWW resolution would resurrect the stale base row —
+    the r5 ADVICE latent bug). Buckets holding delta files are exempt
+    from order pruning; clean buckets keep metrics skipping."""
+    # base at T(1); the delta rewrites u1 far in the future and
+    # tombstones u2 far in the future — a read windowed to [T(0),T(10)]
+    # must see NEITHER the stale u1 base row NOR the deleted u2.
+    upd = [(4, "U", "u1", T(10**6), "late-win"), (5, "D", "u2", T(10**6), None)]
+    out = {}
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, os.path.join(tmpdir_path, mode), SCHEMA, n_buckets=4
+        )
+        t.merge(ev(spark, B1), "b0")
+        t.merge(ev(spark, upd), "b1", mode=mode)
+        out[mode] = sorted(
+            (r["url"], r["warc_ts"], r["text"])
+            for r in t.read(order_min=T(0), order_max=T(10))
+            .filter((F.col("warc_ts") >= T(0)) & (F.col("warc_ts") <= T(10)))
+            .collect()
+        )
+    assert out["mor"] == out["cow"] == [("u3", T(1), "c")]
+
+
 def test_time_travel_reads_resolve_per_snapshot(spark, tmpdir_path):
     t = LakeTable.create(spark, tmpdir_path, SCHEMA, n_buckets=4)
     _apply(t, spark, (B1, B2, B3), "mor")

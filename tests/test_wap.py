@@ -95,6 +95,24 @@ def test_staging_an_already_committed_batch_is_fenced(spark, tbl):
     assert tbl.staged_batches() == []
 
 
+def test_restaging_a_published_batch_preserves_its_data(spark, tbl):
+    """stage → publish → stage_merge(same id) again (the committed-batch
+    replay, e.g. a streaming restart): the replay must hit the
+    exactly-once fence BEFORE any cleanup. A published staged batch's
+    data files live under data/staged-<id>/ and back the live snapshot;
+    the old unconditional discard_staged rmtree'd them, leaving read()
+    broken with PATH_NOT_FOUND (the r5 ADVICE data-loss bug)."""
+    tbl.stage_merge(ev(spark, B1), "b1")
+    tbl.publish_staged("b1")
+    before = sorted(r.url for r in tbl.read().collect())
+    assert tbl.stage_merge(ev(spark, B1), "b1") == {}
+    assert sorted(r.url for r in tbl.read().collect()) == before == ["u1"]
+    # a stray discard of the committed id must refuse too
+    assert tbl.discard_staged("b1") is False
+    assert sorted(r.url for r in tbl.read().collect()) == before
+    assert tbl.validate(full=True)["ok"]
+
+
 def test_staged_survives_expiry_and_restart(spark, tbl, tmpdir_path):
     tbl.stage_merge(ev(spark, B1), "b1")
     tbl.merge(ev(spark, [(5, "I", "u3", T(3), "c")]), "b2")
