@@ -3,16 +3,15 @@
 Thin adapter over :mod:`ais_etl_spark.contract`, which holds one
 (spark, sf_dir) -> DataFrame callable per implemented operator from
 SURVEY.md §2 plus the DuckDB oracle SQL twins (same column names, same
-engine-portable arithmetic). The ONLY query without an oracle entry is
-``tf_xxhash`` — permanently rows-only because DuckDB has no
-Spark-compatible xxhash64 and a pure-SQL XXH64 is unreasonable; as a
-substitute the query itself carries a per-row ``jvm_py_equal``
-assertion (JVM builtin vs the pure-Python twin), and the twin is
-hypothesis-property-tested bit-identical at seed 42. Every other
-query, including the formerly rows-only approximate-ANN pair, is
-value-hash-checked: sim_lsh_topk/sim_ivf_topk were made exactly
-reproducible (deterministic md5 hyperplanes; exact-decimal k-means
-training) so the oracle replays the same approximation. Round 4:
+engine-portable arithmetic). ALL 50 queries are value-hash-checked —
+including ``tf_xxhash``, whose oracle transliterates XXH64 into DuckDB
+SQL (``oracle_xxhash.py``: recursive-CTE stripe loop, UHUGEINT wrap
+arithmetic — round 5 closed the last rows-only exception; the query
+additionally carries a per-row ``jvm_py_equal`` assertion of the JVM
+builtin vs the pure-Python twin). The formerly rows-only
+approximate-ANN pair is exactly reproducible too: sim_lsh_topk /
+sim_ivf_topk use deterministic md5 hyperplanes and exact-decimal
+k-means training so the oracle replays the same approximation. Round 4:
 every cosine is quantized-exact (6-dp int64 components, integer
 dot/norms, explicit floor-rounds) — bit-identical across engines by
 construction, hypothesis-tested head-on in

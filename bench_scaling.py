@@ -66,6 +66,8 @@ def run_level(n_cores: int, events: int, zpath: str, feed_dir: str | None = None
         "--out", out,
         "--curate",
         "--merge-mode", os.environ.get("BENCH_MERGE_MODE", "cow"),
+        "--micro-batches", os.environ.get("BENCH_MICRO_BATCHES", "1"),
+        "--compact-every", os.environ.get("BENCH_COMPACT_EVERY", "0"),
     ]
     if feed_dir:
         cmd += ["--feed-dir", feed_dir]
@@ -131,6 +133,9 @@ def main() -> None:
     result = {
         "metric": "scaling efficiency (throughput ratio / core ratio)",
         "events": events,
+        "merge_mode": os.environ.get("BENCH_MERGE_MODE", "cow"),
+        "micro_batches": int(os.environ.get("BENCH_MICRO_BATCHES", "1")),
+        "compact_every": int(os.environ.get("BENCH_COMPACT_EVERY", "0")),
         f"local[{n_lo}]": lo,
         f"local[{n_hi}]": hi,
         "speedup": round(ratio, 3),

@@ -32,6 +32,14 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--out", default=None)
     ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--micro-batches", type=int, default=1,
+                    help="split the feed into this many event_id-ordered "
+                         "fenced batches (the production MoR shape: many "
+                         "bounded micro-batches, not one giant merge)")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="run compact_deltas() after every K micro-batches "
+                         "(mor steady state: fold cost amortized inside the "
+                         "timed span)")
     ap.add_argument("--curate", action="store_true",
                     help="full curation enrichment per winner (extract + lang\n"
                          "+ simhash + fingerprint + quality) — the\n"
@@ -107,14 +115,36 @@ def main() -> None:
             key="url", order_col="warc_ts", n_buckets=args.n_buckets,
         )
         events = spark.read.parquet(feed_path)
+        nb = max(1, args.micro_batches)
+        if nb > 1:
+            # chunk bounds are input metadata (like feed materialization)
+            # — computed before the timed span
+            from pyspark.sql import functions as F
+
+            lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+            step = (hi - lo) // nb + 1
         t0 = time.time()
-        lineage = table.merge(events, batch_id="b0",
-                              post_dedup_transform=transform,
-                              mode=args.merge_mode)
+        if nb == 1:
+            lineage = table.merge(events, batch_id="b0",
+                                  post_dedup_transform=transform,
+                                  mode=args.merge_mode)
+        else:
+            for i in range(nb):
+                chunk = events.filter(
+                    (F.col("event_id") >= lo + i * step)
+                    & (F.col("event_id") < lo + (i + 1) * step)
+                )
+                lineage = table.merge(chunk, batch_id=f"b{i}",
+                                      post_dedup_transform=transform,
+                                      mode=args.merge_mode)
+                if args.compact_every and (i + 1) % args.compact_every == 0:
+                    table.compact_deltas()
         dt = time.time() - t0
         out = {
             "parallelism": par,
             "events": args.events,
+            "micro_batches": nb,
+            "compact_every": args.compact_every,
             "ingest_sec": round(dt, 3),
             "events_per_sec": round(args.events / dt, 1),
             "rows_after": lineage.get("rows_after"),
