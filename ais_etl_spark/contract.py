@@ -271,8 +271,14 @@ def q_cdc_engine_replay(spark, sf_dir):
     """END-TO-END ENGINE CHECK: build gzip-html events, MERGE them into
     a fresh LakeTable in 4 ordered batches (html→text extraction in the
     pipeline), read the committed final snapshot — must equal the ANSI
-    SQL replay row-for-row (north_rule's replay-equality bar)."""
-    feed = _feed_with_html(spark, sf_dir)
+    SQL replay row-for-row (north_rule's replay-equality bar).
+
+    The feed is localCheckpoint-ed once (r6): each of the 4 batches
+    runs two jobs (stats pre-pass + merge write) that otherwise
+    re-derive the feed — 8 scan+project+shuffle legs for one logical
+    input. Materializing it once measured 10.5 → 8.8 s in interleaved
+    A/B at sf1.0; all work stays inside the timed query span."""
+    feed = _feed_with_html(spark, sf_dir).localCheckpoint(eager=True)
     lo, hi = feed.agg(F.min("event_id"), F.max("event_id")).first()
     tmp = tempfile.mkdtemp(prefix="ais-etl-contract-")
     table = LakeTable.create(
