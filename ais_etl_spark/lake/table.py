@@ -1293,6 +1293,17 @@ class LakeTable:
         b = self._bucket_expr(F.col(key)).alias("_b")
         has_off = {"source_part", "offset"} <= set(events.columns)
         hwm_agg = F.max(order_col).alias("_omax")
+        # per-bucket key min/max feed ONLY the hit-file range pruning —
+        # on an empty table there is nothing to prune, and dropping the
+        # string min/max lets the whole pre-pass compile to a
+        # HashAggregate instead of a SortAggregate (min/max over
+        # var-length strings is not a mutable agg buffer, so their mere
+        # presence forces a full map-side sort of every event row)
+        need_ranges = bool(c["files"])
+        range_aggs = (
+            [F.min(key).alias("_kmin"), F.max(key).alias("_kmax")]
+            if need_ranges else []
+        )
         if has_off:
             sel = [F.col(key), F.col(order_col), b, disp,
                    F.col("source_part"), F.col("offset")]
@@ -1301,8 +1312,7 @@ class LakeTable:
                 F.min("offset").alias("min_offset"),
                 F.max("offset").alias("max_offset"),
                 F.count("*").alias("events"),
-                F.min(key).alias("_kmin"),
-                F.max(key).alias("_kmax"),
+                *range_aggs,
                 hwm_agg,
             ]
         else:
@@ -1310,8 +1320,7 @@ class LakeTable:
             gcols = ["_b", "_disp"]
             aggs = [
                 F.count("*").alias("events"),
-                F.min(key).alias("_kmin"),
-                F.max(key).alias("_kmax"),
+                *range_aggs,
                 hwm_agg,
             ]
         all_rows = events.select(*sel).groupBy(*gcols).agg(*aggs).collect()
@@ -1350,6 +1359,8 @@ class LakeTable:
 
         ranges: dict[int, tuple] = {}
         for r in rows:
+            if not need_ranges:
+                break
             lo, hi = ranges.get(r["_b"], (r["_kmin"], r["_kmax"]))
             ranges[r["_b"]] = (min(lo, r["_kmin"]), max(hi, r["_kmax"]))
         hit_paths = set()
@@ -1476,40 +1487,63 @@ class LakeTable:
         #    a bucket file whose key range cannot contain an incoming
         #    key is carried by reference, not read, not rewritten)
         rewrite_entries = [f for f in c["files"] if f["path"] in hit_paths]
-        current = (
-            self._entries_df(c, rewrite_entries)
-            .select(
-                key, order_col, _SEQ, _DELETED, *payload_names,
-                F.lit(False).alias("_new"),
+        if not rewrite_entries:
+            # FAST PATH — no current file can hold an incoming key
+            # (fresh table, or a batch disjoint from every file range):
+            # the {current ∪ incoming} per-key LWW is the identity on
+            # incoming (winners are already one row per key), so the
+            # union + second struct-max aggregate (a SortAggregate —
+            # struct agg buffers are not hash-aggregable — plus its
+            # exchange) is pure overhead. Every winner is new, nothing
+            # is current: the lineage counters below reduce to the
+            # same literal flags the full plan would compute.
+            result = incoming.select(
+                F.col(key),
+                F.col("_bucket"),
+                F.col(order_col),
+                F.col(_SEQ),
+                F.col(_DELETED),
+                *[F.col(p) for p in payload_names],
+                F.lit(True).alias("_won_new"),
+                F.lit(1).alias("_has_new"),
+                F.lit(0).alias("_has_cur"),
             )
-            .withColumn("_bucket", self._bucket_expr(F.col(key)))
-        )
+        else:
+            current = (
+                self._entries_df(c, rewrite_entries)
+                .select(
+                    key, order_col, _SEQ, _DELETED, *payload_names,
+                    F.lit(False).alias("_new"),
+                )
+                .withColumn("_bucket", self._bucket_expr(F.col(key)))
+            )
 
-        # 4. per-key LWW across {current, incoming}; _new breaks exact
-        #    (ts, seq) ties toward the incoming copy (same content).
-        combined = current.unionByName(incoming)
-        winner = F.max(
-            F.struct(
-                F.col(order_col), F.col(_SEQ), F.col("_new"),
-                F.col(_DELETED), *[F.col(p) for p in payload_names],
+            # 4. per-key LWW across {current, incoming}; _new breaks
+            #    exact (ts, seq) ties toward the incoming copy (same
+            #    content).
+            combined = current.unionByName(incoming)
+            winner = F.max(
+                F.struct(
+                    F.col(order_col), F.col(_SEQ), F.col("_new"),
+                    F.col(_DELETED), *[F.col(p) for p in payload_names],
+                )
+            ).alias("w")
+            merged = combined.groupBy(key, "_bucket").agg(
+                winner,
+                F.max(F.col("_new").cast("int")).alias("_has_new"),
+                F.max((~F.col("_new")).cast("int")).alias("_has_cur"),
             )
-        ).alias("w")
-        merged = combined.groupBy(key, "_bucket").agg(
-            winner,
-            F.max(F.col("_new").cast("int")).alias("_has_new"),
-            F.max((~F.col("_new")).cast("int")).alias("_has_cur"),
-        )
-        result = merged.select(
-            F.col(key),
-            F.col("_bucket"),
-            F.col(f"w.{order_col}").alias(order_col),
-            F.col(f"w.{_SEQ}").alias(_SEQ),
-            F.col(f"w.{_DELETED}").alias(_DELETED),
-            *[F.col(f"w.{p}").alias(p) for p in payload_names],
-            F.col(f"w._new").alias("_won_new"),
-            F.col("_has_new"),
-            F.col("_has_cur"),
-        )
+            result = merged.select(
+                F.col(key),
+                F.col("_bucket"),
+                F.col(f"w.{order_col}").alias(order_col),
+                F.col(f"w.{_SEQ}").alias(_SEQ),
+                F.col(f"w.{_DELETED}").alias(_DELETED),
+                *[F.col(f"w.{p}").alias(p) for p in payload_names],
+                F.col(f"w._new").alias("_won_new"),
+                F.col("_has_new"),
+                F.col("_has_cur"),
+            )
 
         # 5. rewrite touched buckets (CoW) in ONE action: the merge
         #    counters ride along as an Observation on the write job —
