@@ -131,6 +131,7 @@ def _score_chunk_local_topk(
     k: int,
     id_sql_type: str,
     id_is_numeric: bool,
+    probe=None,
 ):
     """One partial-top-k pass of the collected query chunk over the
     corpus: per Arrow batch an exact int64 matmul scores
@@ -150,7 +151,15 @@ def _score_chunk_local_topk(
     order — matches Spark's UTF-16 comparison for all
     non-supplementary text), and a Python ``sorted`` fallback for
     anything else (e.g. decimal — rare, so correctness beats
-    vectorization there)."""
+    vectorization there).
+
+    ``probe`` (optional) = ``(cells, Cq, cn, probe_cells)`` from the
+    IVF chain: each batch row's cell is derived IN-PASS with the exact
+    :func:`ivf_assign` arithmetic (argmax over 6-dp-rounded quantized
+    cosine, ties to the lowest cell), and query ``j`` scores only rows
+    whose cell is in ``probe_cells[j]`` — the fused inline-IVF final
+    (one Arrow pass) instead of assign-pass → shuffle → probe join →
+    pair UDF → window."""
     import numpy as np
     import pandas as pd
 
@@ -162,6 +171,9 @@ def _score_chunk_local_topk(
     id_is_string = id_sql_type == "string"
     Q = _quantize(np.array([r["qv"] for r in q_rows], dtype=np.float64))
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+
+    if probe is not None:
+        p_cells, p_Cq, p_cn, probe_cells = probe
 
     def score_batches(batches):
         for pdf in batches:
@@ -175,9 +187,16 @@ def _score_chunk_local_topk(
             dots = (C @ Q.T).astype(np.float64)  # exact int64 matmul
             cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
             cos = _round6_np(dots / (cn[:, None] * qn[None, :]))
+            if probe is not None:
+                # in-pass cell assignment, exact ivf_assign arithmetic
+                cdots = (C @ p_Cq.T).astype(np.float64)
+                ccos = _round6_np(cdots / (cn[:, None] * p_cn[None, :]))
+                row_cells = p_cells[np.argmax(ccos, axis=1)]
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
                 mask = ids != qids[j]
+                if probe is not None:
+                    mask &= np.isin(row_cells, probe_cells[j])
                 nj, cj = ids[mask], cos[mask, j]
                 if nj.size == 0:
                     continue
@@ -588,30 +607,96 @@ def ivf_topk(
 
     ``index``: a prebuilt ``(centroids, assigned)`` pair from
     :func:`ivf_build` / :func:`ivf_load` — the 100 TB shape (train
-    once, probe many). Without it the index is built inline
-    (``train_iters > 0`` refines the seeds with k-means; requires
-    ``dim``)."""
+    once, probe many): the probe is an equi-join on ``cell`` whose
+    dynamic partition pruning reads only the probed cells' files at
+    rest. Without it the index is built inline (``train_iters > 0``
+    refines the seeds with k-means; requires ``dim``) and the final is
+    FUSED into one Arrow corpus pass (r6): probe cells are derived
+    driver-side per collected query chunk (identical arithmetic to
+    :func:`ivf_probe_cells`), each batch row's cell is assigned
+    in-pass (identical to :func:`ivf_assign`), and only local top-k
+    survivors reach the tiny global rank window — replacing the former
+    assign-pass → shuffle → probe join → pair-UDF → window chain
+    (~4 Python stage waves) with a single pass, since an inline build
+    has no at-rest cell layout to prune anyway."""
     if index is not None:
         cents, assigned_full = index
-    else:
-        cents, assigned_full = ivf_build(
-            corpus, n_cells, dim, train_iters, vec_col, id_col
+        assigned = assigned_full.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
         )
-    assigned = assigned_full.select(
+        # nprobe nearest cells per query (one Arrow pass over queries)
+        qcells = ivf_probe_cells(queries, cents, nprobe, vec_col, id_col)
+        scored = (
+            assigned.join(qcells, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cosine", quantized_cosine_udf()(F.col("cv"), F.col("qv"))
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine")
+        )
+
+    import numpy as np
+
+    if train_iters > 0:
+        if dim is None:
+            raise ValueError("train_iters > 0 requires dim")
+        cents = kmeans_refine(corpus, n_cells, dim, train_iters, vec_col, id_col)
+    else:
+        cents = seed_centroids(corpus, n_cells, vec_col, id_col)
+    cells, Cq, cn = _collect_centroid_matrix(cents, vec_col)
+
+    id_sql_type = dict(corpus.dtypes)[id_col]
+    id_is_numeric = id_sql_type in ("tinyint", "smallint", "int", "bigint")
+    q_sel = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col("cell"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    # nprobe nearest cells per query (one Arrow pass over the queries)
-    qcells = ivf_probe_cells(queries, cents, nprobe, vec_col, id_col)
-    scored = (
-        assigned.join(qcells, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", quantized_cosine_udf()(F.col("cv"), F.col("qv")))
+    np_take = min(nprobe, len(cells))
+
+    local = None
+    last_qid = None
+    max_collect_queries = 4096
+    while True:
+        page = q_sel if last_qid is None else q_sel.filter(F.col("qid") > last_qid)
+        q_rows = page.orderBy("qid").limit(max_collect_queries).collect()
+        if not q_rows:
+            break
+        # driver-side twin of ivf_probe_cells over the collected chunk:
+        # quantized matmul, 6-dp round, stable argsort ⇒ cosine desc
+        # with ties to the lowest cell — bit-identical probe sets
+        Q = _quantize(np.array([r["qv"] for r in q_rows], dtype=np.float64))
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+        qcos = _round6_np((Q @ Cq.T).astype(np.float64) / (qn[:, None] * cn[None, :]))
+        probe_cells = cells[np.argsort(-qcos, axis=1, kind="stable")[:, :np_take]]
+        chunk = _score_chunk_local_topk(
+            c, q_rows, k, id_sql_type, id_is_numeric,
+            probe=(cells, Cq, cn, probe_cells),
+        )
+        local = chunk if local is None else local.unionByName(chunk)
+        if len(q_rows) < max_collect_queries:
+            break
+        last_qid = q_rows[-1]["qid"]
+    if local is None:
+        schema = f"query_id {id_sql_type}, neighbor_id {id_sql_type}, cosine double"
+        local = corpus.sparkSession.createDataFrame([], schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

@@ -89,9 +89,12 @@ CHECKS = {
     ],
     "tf_codec_transcode": [
         # both codec legs run in ONE iterator-mapInPandas pass over the
-        # doc ids — embarrassingly parallel, nothing to shuffle
+        # doc ids; the r6 memo-class repartition (pmod(doc_id, 2001))
+        # that spreads the 2001 serial FLAC chains across cores is the
+        # plan's ONLY exchange, and it moves just the doc_id column
         ("single codec pass", "MapInPandas"),
-        ("no shuffle anywhere in the plan", "Exchange", False),
+        ("memo-class spread is a hash repartition", "REPARTITION_BY_NUM"),
+        ("no join in the codec path", "Join", False),
     ],
     "ivf_assign_pass": [
         # r5 fix of the r4 #1 scale-killer: cell assignment is ONE
