@@ -1683,13 +1683,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     hash-matches it because banded MinHash at (k=16, b=4) is verified
     to cover every Jaccard≥0.5 pair of this corpus (sf0.01 and sf0.1)."""
     # same single-file input-skew fix as dedup_minhash_lsh (guide §2.5):
-    # every shingle explode in both chains inherits the parallelism
+    # every shingle explode in both chains inherits the parallelism.
+    # r6: both chains consume ONE distinct-shingle subtree (min-hash
+    # over the distinct set == over the multiset) — ReuseExchange
+    # materializes the explode once per job instead of once per chain.
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
+    sh = D.distinct_shingle_rows(docs, shingle_n=3)
+    cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3, shingle_rows=sh)
     return D.ngram_jaccard_pairs(
-        docs, shingle_n=3, threshold=0.5, candidates=cand
+        docs, shingle_n=3, threshold=0.5, candidates=cand, shingle_rows=sh
     )
 
 
@@ -1754,13 +1758,16 @@ def q_cdc_curated_dedup(spark, sf_dir):
     exactly reproducible with no probabilistic assumption."""
     table = _build_curated_table(spark, sf_dir)
     docs = table.read().select(F.col("url").alias("doc_id"), "text")
-    cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
+    # r6: candidate + verify chains share one distinct-shingle subtree
+    # (same restructure as dedup_ngram_jaccard — signatures identical)
+    sh = D.distinct_shingle_rows(docs, shingle_n=3)
+    cand = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3, shingle_rows=sh)
     # materialize the verified pairs ONCE: both dedup_clusters and the
     # final pair⋈cluster join consume them, and without the checkpoint
     # the second consumer re-executes the whole curated-read → LSH →
     # Jaccard chain from scratch (the dominant cost of this gate)
     verified = D.ngram_jaccard_pairs(
-        docs, shingle_n=3, threshold=0.5, candidates=cand
+        docs, shingle_n=3, threshold=0.5, candidates=cand, shingle_rows=sh
     ).localCheckpoint(eager=True)
     clusters = D.dedup_clusters(verified)
     return verified.join(

@@ -117,6 +117,27 @@ def _mh(j, shingle_col):
     return F.md5(F.concat(j.cast("string"), F.lit(":"), shingle_col))
 
 
+def distinct_shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """DISTINCT (id, shingle) rows — the shared subtree for chains
+    that need shingles more than once (LSH candidates + Jaccard
+    verify). A min-hash over the distinct set equals the min-hash over
+    the multiset (min is idempotent), and exact Jaccard is defined on
+    sets — so both stages can consume this ONE exploded+distinct
+    subtree and Spark's ReuseExchange materializes it once per job
+    instead of exploding the corpus per stage. ``explode_outer`` keeps
+    shingle-less docs as a null-shingle row (the Jaccard size agg
+    counts them as 0; the signature agg filters them back out)."""
+    return df.select(
+        F.col(id_col),
+        F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).distinct()
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -182,6 +203,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     use_udf_signatures: bool = False,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: band the k-row signature into
     ``bands`` groups, md5 the concatenated band slice, self-join on
@@ -200,7 +222,15 @@ def minhash_lsh_pairs(
     explode at all; useful when pathological shingle counts per doc
     make even the map-side explode too hot). Band signatures are
     bit-identical across both paths and the naive-unpivot oracle
-    (parity test in tests/test_dedup.py)."""
+    (parity test in tests/test_dedup.py).
+
+    ``shingle_rows`` (from :func:`distinct_shingle_rows`): consume a
+    shared distinct (id, shingle) subtree instead of exploding here —
+    identical signatures (min over the distinct set == min over the
+    multiset; docs whose only row is the null shingle are filtered
+    back out after the aggregate, matching the inner-explode's
+    no-signature behavior), one explode per job when a verify stage
+    shares the subtree."""
     rows_per_band = k // bands
 
     def band_cols(h):
@@ -224,14 +254,21 @@ def minhash_lsh_pairs(
         )
         per_band = band_cols(lambda i: F.element_at("_sig", i + 1))
     else:
-        sh = df.select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-        )
+        if shingle_rows is not None:
+            sh = shingle_rows
+        else:
+            sh = df.select(
+                F.col(id_col),
+                F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+            )
         mins = [
             F.min(_mh(F.lit(j), F.col("s"))).alias(f"_h{j}") for j in range(k)
         ]
         docs = sh.groupBy(id_col).agg(*mins)
+        if shingle_rows is not None:
+            # explode_outer's null-shingle rows hash to null everywhere;
+            # a doc with no real shingle must stay signature-less
+            docs = docs.filter(F.col("_h0").isNotNull())
         per_band = band_cols(lambda i: F.col(f"_h{i}"))
     band = docs.select(F.col(id_col), F.posexplode(per_band).alias("band", "sig"))
     a = band.select(F.col(id_col).alias("doc_a"), "band", "sig")
@@ -271,6 +308,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingles via inverted-index
     join: |A∩B| from a shingle-equality self-join, |A∪B| = |A|+|B|−∩.
@@ -278,9 +316,12 @@ def ngram_jaccard_pairs(
     With ``candidates`` (e.g. LSH output) the intersection join is
     restricted to candidate pairs — the 100 TB path. Without it this
     is exact all-pairs-with-shared-shingle (test scale only).
-    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    ``shingle_rows`` (from :func:`distinct_shingle_rows`): share the
+    exploded+distinct subtree with the candidate generator so the
+    corpus explodes once per job. Returns (doc_a, doc_b, jaccard)
+    with jaccard >= threshold.
     """
-    sh = df.select(
+    sh = shingle_rows if shingle_rows is not None else df.select(
         F.col(id_col), F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("s")
     ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("s").alias("n_sh"))

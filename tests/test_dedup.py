@@ -335,3 +335,29 @@ def test_dedup_clusters_raises_instead_of_wrong_labels(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.dedup_clusters(pairs, max_iters=1)
+
+
+def test_shared_shingle_subtree_parity(docs):
+    """The shared distinct-shingle subtree (r6: one explode feeds both
+    the LSH candidate and the Jaccard verify chain) must be invisible
+    in the results: identical candidate pairs (min over the distinct
+    set == min over the multiset; explode_outer's null-shingle doc is
+    filtered back out post-agg) and identical verified pairs."""
+    sh = D.distinct_shingle_rows(docs, shingle_n=3)
+    cand_plain = D.minhash_lsh_pairs(docs, k=16, bands=4, shingle_n=3)
+    cand_shared = D.minhash_lsh_pairs(
+        docs, k=16, bands=4, shingle_n=3, shingle_rows=sh
+    )
+    assert {tuple(r) for r in cand_plain.collect()} == {
+        tuple(r) for r in cand_shared.collect()
+    }
+    ver_plain = D.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.3, candidates=cand_plain
+    )
+    ver_shared = D.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.3, candidates=cand_shared,
+        shingle_rows=sh,
+    )
+    assert {tuple(r) for r in ver_plain.collect()} == {
+        tuple(r) for r in ver_shared.collect()
+    }
