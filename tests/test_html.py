@@ -43,3 +43,32 @@ def test_script_and_nav_excluded():
     payload = synth_html("u", "only this", "en")
     assert extract_text_bytes(payload) == "only this"
     assert "tracked" not in extract_text_bytes(payload)
+
+
+def test_fused_extract_parity(spark):
+    """extract_text_lang_udf must be byte-identical to the separate
+    extract_text/extract_lang UDFs on the same payloads (incl. None)."""
+    from pyspark.sql import functions as F
+
+    from ais_etl_spark import html as H
+    from ais_etl_spark.transforms.builtin import (
+        extract_lang_udf,
+        extract_text_lang_udf,
+        extract_text_udf,
+    )
+
+    rows = [
+        (0, H.synth_html("https://a/x", "hello\nworld & <tag>", "en")),
+        (1, H.synth_html("https://b/y", "", "de")),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, html binary")
+    sep = df.select(
+        "i",
+        extract_text_udf("html").alias("text"),
+        extract_lang_udf("html").alias("lang"),
+    )
+    fused = df.withColumn("_tl", extract_text_lang_udf("html")).select(
+        "i", F.col("_tl.text").alias("text"), F.col("_tl.lang").alias("lang")
+    )
+    assert sorted(map(tuple, sep.collect())) == sorted(map(tuple, fused.collect()))
