@@ -1220,9 +1220,13 @@ class LakeTable:
             self._batch_stats(
                 events, key, c, bad,
                 # mor never reads base files, so the exact-probe Spark
-                # job that refines the hit set is pure waste — disable
+                # job that refines the hit set is pure waste — disable;
+                # likewise the per-bucket key ranges exist only to pick
+                # hit files, so mor skips them and the whole stats
+                # pre-pass stays a HashAggregate
                 (1 << 30) if mode == "mor" else exact_probe_files,
                 late,
+                need_hit_files=(mode != "mor"),
             )
         )
         hwm_us = max(
@@ -1256,7 +1260,8 @@ class LakeTable:
         )
 
     def _batch_stats(self, events: DataFrame, key: str, c: dict, bad,
-                     exact_probe_files: int = 64, late=None):
+                     exact_probe_files: int = 64, late=None,
+                     need_hit_files: bool = True):
         """Pre-pass over the raw events, column-pruned to key+offset
         (never the payload), producing the three merge inputs from ONE
         map-side-combined aggregation (shuffle = at most
@@ -1299,7 +1304,7 @@ class LakeTable:
         # HashAggregate instead of a SortAggregate (min/max over
         # var-length strings is not a mutable agg buffer, so their mere
         # presence forces a full map-side sort of every event row)
-        need_ranges = bool(c["files"])
+        need_ranges = need_hit_files and bool(c["files"])
         range_aggs = (
             [F.min(key).alias("_kmin"), F.max(key).alias("_kmax")]
             if need_ranges else []
