@@ -584,7 +584,16 @@ class LakeTable:
             )
         for (ver, seq), paths in by_grp.items():
             old_cols = {col["id"]: col for col in c["schemas"][ver]}
-            df = self.spark.read.parquet(*paths)
+            # explicit reader schema: every file in this group was
+            # written under schema version ``ver`` plus the internal
+            # columns, so the physical layout is KNOWN — passing it
+            # skips parquet schema inference (a driver-side footer
+            # read per read call; the merge path builds one of these
+            # per batch, so the saved latency is per-commit)
+            ddl = ", ".join(
+                f"`{col['name']}` {col['type']}" for col in c["schemas"][ver]
+            ) + f", `{_SEQ}` bigint, `{_DELETED}` boolean"
+            df = self.spark.read.schema(ddl).parquet(*paths)
             sel = []
             for col in cur_cols:
                 if col["id"] in old_cols:
