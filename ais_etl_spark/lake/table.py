@@ -1489,7 +1489,8 @@ class LakeTable:
             # schema-version type they are manifested under
             *[F.col(p).cast(ptypes[p]).alias(p) for p in payload_names],
             F.lit(True).alias("_new"),
-        ).withColumn("_bucket", self._bucket_expr(F.col(key)))
+            self._bucket_expr(F.col(key)).alias("_bucket"),
+        )
 
         if mode == "mor":
             return self._commit_mor_deltas(

@@ -70,13 +70,12 @@ def enrich_events(events: DataFrame) -> DataFrame:
     fused struct UDF gunzips+decodes each payload once for both fields
     (guide §4) — byte-identical to the separate extract_text/lang UDFs
     (parity-tested in tests/test_html.py)."""
-    tl = extract_text_lang_udf("html")
-    return (
-        events.withColumn("_tl", tl)
-        .withColumn("text", F.col("_tl.text"))
-        .withColumn("lang", F.col("_tl.lang"))
-        .drop("_tl")
-    )
+    # two selects, not a withColumn chain: each DataFrame op costs a
+    # driver py4j+analysis round trip, and this runs on every merge
+    base = [c for c in events.columns if c not in ("text", "lang")]
+    out = events.select(*base, extract_text_lang_udf("html").alias("_tl"))
+    return out.select(*base, F.col("_tl.text").alias("text"),
+                      F.col("_tl.lang").alias("lang"))
 
 
 def _duration_us(s: str) -> int:
