@@ -62,6 +62,7 @@ def main() -> None:
     )
 
     n_events = int(os.environ.get("SOAK_EVENTS", "20000000"))
+    merge_mode = os.environ.get("SOAK_MERGE_MODE", "cow")
     spark = get_spark(
         app_name="soak-e2e",
         extra_conf={
@@ -119,7 +120,7 @@ def main() -> None:
             spark, feed_dir, bronze_p, ckpt,
             max_files_per_trigger=8, n_buckets=32,
             maintenance_every=4, keep_snapshots=3,
-            on_batch_applied=hook,
+            on_batch_applied=hook, merge_mode=merge_mode,
         )
     except Exception as e:  # the injected crash (wrapped by streaming)
         crashed = "injected crash" in str(e)
@@ -129,7 +130,7 @@ def main() -> None:
         spark, feed_dir, bronze_p, ckpt,
         max_files_per_trigger=8, n_buckets=32,
         maintenance_every=4, keep_snapshots=3,
-        on_batch_applied=hook,
+        on_batch_applied=hook, merge_mode=merge_mode,
     )
     # final catch-up for the downstream lane + view
     sync_incremental(bronze, silver, name="soak",
@@ -174,6 +175,7 @@ def main() -> None:
     t_done = time.time()
 
     results["events"] = n_events
+    results["merge_mode"] = merge_mode
     results["feed_sec"] = round(t_feed - t_start, 1)
     results["pipeline_sec"] = round(t_pipe - t_feed, 1)
     results["oracle_sec"] = round(t_done - t_pipe, 1)
